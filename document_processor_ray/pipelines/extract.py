@@ -1,0 +1,150 @@
+"""The flagship extraction pipeline (SURVEY §3.4 restatement).
+
+::
+
+    read (parquet fragments; Lance seam)            # column-pruned, filter-pushed
+     ├─ small docs (n_spans ≤ T)  ───────────────┐  # pushdown on metadata column
+     │    sniff → ParseStage('whole')            │  # actor pool, no shuffle
+     └─ giant docs (n_spans > T)                 │
+          sniff → split → ParseStage('chunks')   │
+          → groupby(doc_id).map_groups(finalize) │  # the only shuffle, key=doc_id,
+     union ──────────────────────────────────────┘  #   giant-doc tail only
+     → write_parquet + manifest (state/manifest.py)
+
+The two read branches carry *disjoint* row sets selected by a parquet predicate on
+the ``n_spans`` metadata column (row-group pruning at the scan), so nothing is read
+or parsed twice and the all-to-all regroup shuffles only the giant-document tail —
+extracted text only, media payloads already dropped/offloaded by the parse stage.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..stages.parse import ParseStage, finalize_group
+from ..stages.sniff import sniff_batch
+from ..stages.split import make_split_batch
+
+
+@dataclass
+class ExtractConfig:
+    split_threshold: int = 2000      # docs with more spans than this get chunked
+    chunk_size: int = 500            # spans per chunk for split docs
+    media_dir: str | None = None     # content-addressed media sink (None = hash only)
+    batch_size: int = 32             # docs per parse actor call (media-heavy → small)
+    parse_concurrency: tuple[int, int] | int | None = None  # actor pool size
+    override_num_blocks: int | None = None
+
+
+def _parquet_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def _max_n_spans(paths: list[str]) -> int:
+    """Cheap planning probe: max(n_spans) from parquet row-group statistics only."""
+    best = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("n_spans")
+        if idx is None:
+            return 1 << 30
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.max is None:
+                return 1 << 30
+            best = max(best, st.max)
+    return best
+
+
+def _pool(cfg: ExtractConfig):
+    if cfg.parse_concurrency is not None:
+        return cfg.parse_concurrency
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n = 8
+    return (1, max(2, n))
+
+
+def build_extraction(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
+    """Build the lazy extraction Dataset. ``source``: a parquet file/dir path, a
+    pyarrow Table, or an existing ``ray.data.Dataset`` with the input schema."""
+    cfg = cfg or ExtractConfig()
+    T = cfg.split_threshold
+
+    if isinstance(source, str):
+        paths = _parquet_paths(source)
+        has_giants = _max_n_spans(paths) > T
+        read_kw = {}
+        if cfg.override_num_blocks:
+            read_kw["override_num_blocks"] = cfg.override_num_blocks
+        small = rd.read_parquet(paths, filter=pc.field("n_spans") <= T, **read_kw)
+        big = rd.read_parquet(paths, filter=pc.field("n_spans") > T, **read_kw) if has_giants else None
+    elif isinstance(source, pa.Table):
+        mask = pc.less_equal(source["n_spans"], T)
+        small_tbl = source.filter(mask)
+        big_tbl = source.filter(pc.invert(mask))
+        small = rd.from_arrow(small_tbl)
+        big = rd.from_arrow(big_tbl) if big_tbl.num_rows else None
+    else:
+        # generic Dataset input: no pushdown available; route everything through the
+        # chunked path only when asked to split, else whole-doc path
+        small = source
+        big = None
+
+    pool = _pool(cfg)
+    out = (
+        small.map_batches(sniff_batch, batch_format="pyarrow")
+        .map_batches(
+            ParseStage,
+            fn_constructor_kwargs={"mode": "whole", "media_dir": cfg.media_dir},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=pool,
+            num_cpus=1,
+        )
+    )
+    if big is not None:
+        big_out = (
+            big.map_batches(sniff_batch, batch_format="pyarrow")
+            .map_batches(
+                make_split_batch(cfg.chunk_size),
+                batch_format="pyarrow",
+                batch_size=4,
+            )
+            .map_batches(
+                ParseStage,
+                fn_constructor_kwargs={"mode": "chunks", "media_dir": cfg.media_dir},
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=pool,
+                num_cpus=1,
+            )
+            .groupby("doc_id")
+            .map_groups(finalize_group, batch_format="pyarrow")
+        )
+        out = out.union(big_out)
+    return out
+
+
+def run_extraction(source, out_dir: str, cfg: ExtractConfig | None = None) -> str:
+    """Execute the pipeline and write partitioned parquet output."""
+    cfg = cfg or ExtractConfig()
+    if cfg.media_dir is None:
+        cfg.media_dir = os.path.join(out_dir, "media")
+    ds = build_extraction(source, cfg)
+    docs_dir = os.path.join(out_dir, "docs")
+    ds.write_parquet(docs_dir)
+    return docs_dir

@@ -1,0 +1,169 @@
+"""Single-threaded pure-Python oracle for the extraction semantics (docs/SPEC.md).
+
+Deliberately does NOT import anything from ``document_processor_ray`` — it
+re-implements the spec from scratch (different structure, stdlib ``re`` only) so
+implementation bugs cannot self-confirm (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import struct
+import zlib
+
+GLYPH = re.compile(r"(?i)glyph<(?:c=\d+,font=/[A-Z0-9]+\+[A-Za-z0-9-]+|\d+)>")
+WSRUN = re.compile(r"[ \t]+")
+TAG = re.compile(r"(?s)<[^>]*>")
+ANCHOR = re.compile(r"(?is)<a\b[^>]*>.*?</a>")
+HTMLISH = re.compile(
+    r"(?is)<(?:!doctype|html|head|body|div|p|a|nav|span|ul|ol|li|table|h[1-6]|footer|header)\b"
+)
+NONWS = re.compile(r"[^ \t\n\r\f\v]")
+
+TEXT_KINDS = {
+    "title", "section_header", "paragraph", "text", "list_item", "caption",
+    "footnote", "page_header", "page_footer",
+}
+MEDIA_KINDS = {"table", "picture", "formula", "code"}
+
+
+def clean(s: str) -> str:
+    return WSRUN.sub(" ", GLYPH.sub(" ", s)).strip()
+
+
+def visible(s: str) -> str:
+    s = TAG.sub(" ", s)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        s = s.replace(ent, ch)
+    return s
+
+
+WORD = re.compile(r"[^ \t\n\r\f]+")
+
+
+def nwords(s: str) -> int:
+    return len(WORD.findall(s))
+
+
+def classify(spans: list[dict]) -> str:
+    if not spans:
+        return "empty"
+    if any(HTMLISH.search(s["text"]) for s in spans):
+        return "html"
+    raw_text = any(
+        (s["kind"] not in MEDIA_KINDS and s["kind"] != "boilerplate")
+        and NONWS.search(s["text"])
+        for s in spans
+    )
+    if not raw_text:
+        return "scanned" if any(s["kind"] in MEDIA_KINDS for s in spans) else "text"
+    return "text"
+
+
+def decode(data: bytes):
+    """Returns ('img', w, h, text) | ('tbl', rows) | None on corruption."""
+    try:
+        if data[:6] == b"SIMG1\0":
+            w, h = struct.unpack("<II", data[6:14])
+            return ("img", w, h, zlib.decompress(data[14:]).decode("utf-8"))
+        if data[:6] == b"STBL1\0":
+            rows = json.loads(zlib.decompress(data[6:]).decode("utf-8"))
+            if not isinstance(rows, list):
+                return None
+            return ("tbl", rows)
+    except Exception:
+        return None
+    return None
+
+
+def canonical_ref(dec) -> str:
+    if dec[0] == "img":
+        _, w, h, text = dec
+        blob = (b"EIMG1\0" + struct.pack("<II", w, h)
+                + zlib.compress(clean(text).encode("utf-8"), 9))
+    else:
+        rows = [[clean(c) if isinstance(c, str) else c for c in row] for row in dec[1]]
+        blob = b"ETBL1\0" + zlib.compress(
+            json.dumps(rows, separators=(",", ":"), ensure_ascii=True).encode("utf-8"), 9
+        )
+    return "media://" + hashlib.sha256(blob).hexdigest()[:16]
+
+
+def ocr_of(dec) -> str:
+    if dec[0] == "img":
+        return dec[3]
+    return " ".join(str(c) for row in dec[1] for c in row
+                    if c is not None and str(c) != "")
+
+
+def extract_doc(row: dict) -> dict:
+    """row: {doc_id, spans, payloads} → {doc_id, spans, metrics} per SPEC."""
+    spans_in = sorted(row.get("spans") or [], key=lambda s: s["offset"])
+    payloads = {p["media_ref"]: p["data"] for p in (row.get("payloads") or [])}
+    doc_class = classify(spans_in)
+    if doc_class == "empty":
+        return _out(row["doc_id"], [], "empty", "none", 0, 0, "empty_document")
+    is_html = doc_class == "html"
+    n_err = 0
+
+    # one pass computing everything needed for both cascade arms
+    prepared = []  # (kind, text_out, media_ref_out, ocr_clean_or_None, is_text_kind)
+    for s in spans_in:
+        kind, raw = s["kind"], s["text"]
+        if kind in MEDIA_KINDS:
+            cap = clean(visible(raw)) if is_html else clean(raw)
+            ref_out, ocr_clean = "", None
+            if s["media_ref"]:
+                data = payloads.get(s["media_ref"])
+                dec = decode(data) if data is not None else None
+                if dec is None:
+                    n_err += 1
+                else:
+                    ref_out = canonical_ref(dec)
+                    oc = clean(ocr_of(dec))
+                    ocr_clean = oc if oc else None
+            prepared.append((kind, cap, ref_out, ocr_clean, False))
+            continue
+        if kind == "boilerplate":
+            continue
+        if is_html:
+            t = nwords(visible(raw))
+            na = nwords(visible(ANCHOR.sub(" ", raw)))
+            if t == 0 or 2 * (t - na) >= t:
+                continue
+        txt = clean(visible(raw)) if is_html else clean(raw)
+        if txt == "":
+            continue
+        prepared.append((kind, txt, "", None, True))
+
+    has_text = any(p[4] for p in prepared)
+    ocr_path = "fast" if has_text else "full"
+    out = []
+    for kind, txt, ref, ocr_clean, is_text in prepared:
+        out.append({"kind": kind, "text": txt, "media_ref": ref, "offset": len(out)})
+        if not has_text and ocr_clean is not None:
+            out.append({"kind": "text", "text": ocr_clean, "media_ref": "",
+                        "offset": len(out)})
+    return _out(row["doc_id"], out, doc_class, ocr_path, len(spans_in), n_err, "")
+
+
+def _out(doc_id, spans, doc_class, ocr_path, n_in, n_err, error):
+    return {
+        "doc_id": doc_id,
+        "spans": spans,
+        "metrics": {
+            "doc_class": doc_class,
+            "ocr_path": ocr_path,
+            "n_spans_in": n_in,
+            "n_spans_out": len(spans),
+            "n_errors": n_err,
+            "error": error,
+        },
+    }
+
+
+def extract_corpus(rows: list[dict]) -> dict[str, dict]:
+    return {r["doc_id"]: extract_doc(r) for r in rows}

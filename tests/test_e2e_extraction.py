@@ -1,0 +1,100 @@
+"""End-to-end golden test: Ray pipeline output ≡ oracle, per-row span-sequence
+equality on (kind, text, media_ref, order) — the BASELINE.json correctness gate."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from document_processor_ray.data.synth import gen_corpus, write_corpus
+from document_processor_ray.pipelines.extract import ExtractConfig, build_extraction
+
+import oracle
+
+
+def _span_seqs(rows):
+    out = {}
+    for r in rows:
+        out[r["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+    return out
+
+
+def _assert_equal(pipeline_rows, oracle_out, check_metrics=True):
+    got = _span_seqs(pipeline_rows)
+    want = _span_seqs(oracle_out.values())
+    assert set(got) == set(want)
+    n_bad = 0
+    for did in want:
+        if got[did] != want[did]:
+            n_bad += 1
+            if n_bad <= 3:
+                print(f"MISMATCH {did}:\n  got  {got[did][:6]}\n  want {want[did][:6]}")
+    assert n_bad == 0, f"{n_bad}/{len(want)} docs mismatched"
+    if check_metrics:
+        om = {r["doc_id"]: r["metrics"] for r in oracle_out.values()}
+        for r in pipeline_rows:
+            m = dict(r["metrics"])
+            wm = om[r["doc_id"]]
+            assert m == wm, (r["doc_id"], m, wm)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_e2e_equality_in_memory():
+    corpus = gen_corpus(300, seed=42)
+    ds = build_extraction(corpus, ExtractConfig(split_threshold=40, chunk_size=16,
+                                                parse_concurrency=(1, 2)))
+    rows = ds.take_all()
+    want = oracle.extract_corpus(corpus.to_pylist())
+    assert len(rows) == len(want)
+    _assert_equal(rows, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_e2e_equality_parquet_with_giants(tmp_path):
+    # low threshold so plenty of docs take the split→regroup path
+    write_corpus(str(tmp_path / "in"), 200, seed=7, n_files=4,
+                 giant_rate=0.05, mean_spans=20)
+    cfg = ExtractConfig(split_threshold=50, chunk_size=13,
+                        parse_concurrency=(1, 2), media_dir=str(tmp_path / "media"))
+    ds = build_extraction(str(tmp_path / "in"), cfg)
+    rows = ds.take_all()
+    import pyarrow.parquet as pq
+    import glob
+
+    src = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(str(tmp_path / "in" / "*.parquet")))]
+    )
+    want = oracle.extract_corpus(src.to_pylist())
+    assert len(rows) == len(want)
+    _assert_equal(rows, want, check_metrics=False)  # chunked metrics counted doc-level
+    # metrics equality still holds except none — verify key fields
+    om = {r["doc_id"]: r["metrics"] for r in want.values()}
+    for r in rows:
+        m, wm = dict(r["metrics"]), om[r["doc_id"]]
+        assert (m["doc_class"], m["ocr_path"], m["n_spans_in"], m["n_spans_out"]) == (
+            wm["doc_class"], wm["ocr_path"], wm["n_spans_in"], wm["n_spans_out"]
+        ), r["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_store_written(tmp_path):
+    corpus = gen_corpus(60, seed=3, media_rate=0.5, corrupt_rate=0.0)
+    cfg = ExtractConfig(media_dir=str(tmp_path / "media"), parse_concurrency=(1, 2))
+    rows = build_extraction(corpus, cfg).take_all()
+    import glob, os
+
+    files = glob.glob(str(tmp_path / "media" / "*" / "*.bin"))
+    refs_out = {
+        s["media_ref"] for r in rows for s in r["spans"] if s["media_ref"]
+    }
+    on_disk = {"media://" + os.path.basename(f)[:-4] for f in files}
+    assert refs_out == on_disk
+    assert refs_out, "expected some media"
+    # content-addressing: stored bytes re-hash to their ref
+    import hashlib
+
+    for f in files[:20]:
+        data = open(f, "rb").read()
+        assert os.path.basename(f)[:-4] == hashlib.sha256(data).hexdigest()[:16]
