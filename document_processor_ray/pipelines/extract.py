@@ -44,7 +44,9 @@ class ExtractConfig:
     override_num_blocks: int | None = None
 
 
-def _parquet_paths(path: str) -> list[str]:
+def _parquet_paths(path: str | list[str]) -> list[str]:
+    if isinstance(path, list):
+        return path
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.parquet")))
     return [path]
@@ -84,7 +86,7 @@ def build_extraction(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
     cfg = cfg or ExtractConfig()
     T = cfg.split_threshold
 
-    if isinstance(source, str):
+    if isinstance(source, (str, list)):
         paths = _parquet_paths(source)
         has_giants = _max_n_spans(paths) > T
         read_kw = {}
