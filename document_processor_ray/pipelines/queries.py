@@ -1,0 +1,457 @@
+"""Query registry: every operator exposed as a named pipeline over the driver's
+parquet tables, each paired (where ANSI-SQL-expressible) with the DuckDB oracle
+SQL the correctness driver runs side-by-side.
+
+Column-name parity rule: every computed column is named identically in the Ray
+code and the SQL (the driver hashes values after sorting columns by name).
+Float-summation caveat: aggregates over doubles restrict to order-insensitive
+exact ops (count / min / max / sums of integer-valued doubles) so value hashes
+are bit-stable between Ray and DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..functions import textstats as ts
+from ..functions.text_clean import GLYPH_PAT, WS_RUN_PAT, clean_text_arr
+from ..stages import window as win
+
+_TRIM_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _cast_int64(ds, cols):
+    """Normalize integer-valued aggregate outputs to int64 (Ray's Sum over int
+    emits float64; the DuckDB oracle emits BIGINT — value hashes must agree)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.cast(pc.round(t[c]), pa.int64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _docs(sf_dir, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _t(sf_dir, name, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.text_stats_batch, batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+       array_length(regexp_extract_all(text, '{ts.TOKEN_PAT}'))  AS n_tokens,
+       length(text)                                              AS n_chars_seen,
+       array_length(regexp_extract_all(text, '{ts.PUNCT_PAT}'))  AS n_punct,
+       array_length(regexp_extract_all(text, '{ts.DIGIT_PAT}'))  AS n_digit,
+       array_length(regexp_extract_all(text, '{ts.UPPER_PAT}'))  AS n_upper
+FROM documents
+"""
+
+
+def q_glyph_clean(sf_dir):
+    """N1 cleaner (reference slice_extractor.py:212-225) as a standalone query."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "clean_text": clean_text_arr(b["text"])})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_GLYPH_CLEAN = f"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '{GLYPH_PAT}', ' ', 'g'),
+                           '{WS_RUN_PAT}', ' ', 'g'), {_TRIM_WS_SQL}) AS clean_text
+FROM documents
+"""
+
+
+def q_lang_distribution(sf_dir):
+    return _cast_int64(
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")),
+        ["total_chars"],
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_source_stats(sf_dir):
+    return _cast_int64(
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"),
+                   Min("n_chars", alias_name="min_chars"),
+                   Max("n_chars", alias_name="max_chars")),
+        ["total_chars", "min_chars", "max_chars"],
+    )
+
+
+SQL_SOURCE_STATS = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact: SQL-checked; near-dup families: rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir):
+    return dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM documents GROUP BY text
+"""
+
+
+def q_minhash_pairs(sf_dir):
+    return dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir):
+    return dd.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_embedding_dup_pairs(sf_dir):
+    pairs = dd.embedding_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.4)
+    # ids only: the cosine value itself differs from DuckDB's in final float bits
+    return pairs.select_columns(["a", "b"])
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+"""
+
+
+def q_langid(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).drop_columns(["text"])
+
+
+def q_quality(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.quality_batch, batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
+def q_fingerprint(sf_dir):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.fingerprint_batch, batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _first_queries(sf_dir, n=10):
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    order = pc.sort_indices(tbl["vec_id"])[:n]
+    qids = pc.take(tbl["vec_id"], order).to_pylist()
+    qvecs = np.array(pc.take(tbl["embedding"], order).to_pylist(), dtype=np.float64)
+    return qvecs, qids
+
+
+def q_knn_cosine(sf_dir):
+    qvecs, qids = _first_queries(sf_dir)
+    return sim.knn_cosine(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          qvecs, qids, k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_knn_ivf(sf_dir):
+    qvecs, qids = _first_queries(sf_dir)
+    return sim.knn_cosine_ivf(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                              qvecs, qids, k=10)
+
+
+def q_embedding_label_dist(sf_dir):
+    return _t(sf_dir, "embeddings", ["label"]).groupby("label").aggregate(
+        Count(alias_name="n_vecs"))
+
+
+SQL_EMBEDDING_LABEL_DIST = "SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label"
+
+
+# ---------------------------------------------------------------------------
+# Windows over the event stream (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir):
+    return win.tumbling_counts(_t(sf_dir, "events", ["event_type", "ts", "value"]),
+                               size_s=3600)
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+       count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def q_sessions(sf_dir):
+    return win.session_counts(_t(sf_dir, "events", ["user_id", "ts"]), gap_s=1800)
+
+
+SQL_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p
+  FROM events)
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN p IS NOT NULL
+                          AND date_diff('microsecond', p, ts) > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+def q_active_users(sf_dir):
+    counted = _t(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
+        Count(alias_name="n_events"))
+    return counted.filter(expr="n_events >= 10")
+
+
+SQL_ACTIVE_USERS = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id HAVING count(*) >= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth over the TPC-H-ish tables (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir):
+    """TPC-H Q1-shaped aggregate restricted to order-insensitive exact measures."""
+    return (
+        _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Count(alias_name="n_rows"),
+                   Min("l_quantity", alias_name="min_qty"),
+                   Max("l_quantity", alias_name="max_qty"))
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_ship_window_agg(sf_dir):
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
+
+    def f(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+        mask = pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        return b.filter(mask)
+
+    return (ds.map_batches(f, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n_rows")))
+
+
+SQL_SHIP_WINDOW_AGG = """
+SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_orders_by_segment(sf_dir):
+    """Broadcast hash join (small dimension side via ray.put — no shuffle;
+    ray_guide 'Joins and lookups') then groupby."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def join(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        seg = [lk.get(k) for k in b["o_custkey"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(seg, pa.string()),
+                         "o_totalprice": b["o_totalprice"]})
+
+    return (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_orders"),
+                       Min("o_totalprice", alias_name="min_price"),
+                       Max("o_totalprice", alias_name="max_price")))
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_region_counts(sf_dir):
+    """Distributed hash join both-sides via Dataset.join (customer ⋈ nation),
+    then aggregate; demonstrates the shuffle-join path for two large sides."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = cust.join(nat, join_type="inner", num_partitions=4,
+                       on=("c_nationkey",), right_on=("n_nationkey",))
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+
+SQL_NATION_REGION_COUNTS = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship extraction (non-SQL-expressible → rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def _interleaved_corpus(sf_dir):
+    from ..data.synth import corpus_from_flat
+
+    flat = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return corpus_from_flat(flat, seed=42)
+
+
+def q_extract_flagship(sf_dir):
+    """Full extraction pipeline over the interleaved corpus derived
+    deterministically from the flat documents table; output = flattened spans."""
+    from .extract import ExtractConfig, build_extraction
+
+    out = build_extraction(_interleaved_corpus(sf_dir),
+                           ExtractConfig(split_threshold=500, chunk_size=200))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        ids, kinds, texts, refs, offs = [], [], [], [], []
+        for did, spans in zip(b["doc_id"].to_pylist(), b["spans"].to_pylist()):
+            for s in spans:
+                ids.append(did); kinds.append(s["kind"]); texts.append(s["text"])
+                refs.append(s["media_ref"]); offs.append(s["offset"])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "offset": pa.array(offs, pa.int32()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "text": pa.array(texts, pa.string()),
+                         "media_ref": pa.array(refs, pa.string())})
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_extract_metrics(sf_dir):
+    from .extract import ExtractConfig, build_extraction
+
+    out = build_extraction(_interleaved_corpus(sf_dir),
+                           ExtractConfig(split_threshold=500, chunk_size=200))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        m = b["metrics"]
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "doc_class": m.field("doc_class"),
+            "ocr_path": m.field("ocr_path"),
+            "n_spans_in": m.field("n_spans_in"),
+            "n_spans_out": m.field("n_spans_out"),
+            "n_errors": m.field("n_errors"),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "glyph_clean": (q_glyph_clean, SQL_GLYPH_CLEAN),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "langid": (q_langid, None),
+    "quality": (q_quality, None),
+    "fingerprint": (q_fingerprint, None),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_ivf": (q_knn_ivf, None),
+    "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "sessions": (q_sessions, SQL_SESSIONS),
+    "active_users": (q_active_users, SQL_ACTIVE_USERS),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
+    "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
+    "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
+    "extract_flagship": (q_extract_flagship, None),
+    "extract_metrics": (q_extract_metrics, None),
+}

@@ -1,0 +1,91 @@
+"""Windowed aggregates over an event stream table (events: event_id, ts, user_id,
+event_type, value, props).
+
+Ray Data is a batch engine with no event-time watermarks (ray_guide "Streaming-
+shaped workloads"); windows are expressed as groupbys over window keys:
+
+- tumbling: window_start = floor(epoch / size) — a plain groupby, SQL-checkable
+  via date_trunc/epoch arithmetic.
+- sliding: one input row contributes to size/step windows → flat-map style
+  explode inside map_batches, then groupby.
+- session: per-key sorted gap-split inside ``groupby(key).map_groups`` (ordering
+  assumption: one group = all events of the key, sorted here, not globally).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min
+
+
+def add_tumbling_window(batch: pa.Table, size_s: int, ts_col: str = "ts") -> pa.Table:
+    """Append window_start (epoch seconds, floored to the window) as int64.
+    Integer arithmetic in numpy — pyarrow's divide is true division."""
+    ts_us = pc.cast(batch[ts_col], pa.timestamp("us"))  # ns inputs (pandas) → us
+    epoch_us = pc.cast(ts_us, pa.int64()).to_numpy(zero_copy_only=False)
+    wstart = (epoch_us // (size_s * 1_000_000)) * size_s
+    return batch.append_column("window_start", pa.array(wstart, pa.int64()))
+
+
+def tumbling_counts(events: rd.Dataset, size_s: int = 3600,
+                    key: str = "event_type") -> rd.Dataset:
+    """(key, window_start) → n_events, min/max value. min/max are exact under any
+    float summation order (unlike sums), keeping the oracle comparison bit-exact."""
+    with_w = events.map_batches(
+        lambda b: add_tumbling_window(b, size_s), batch_format="pyarrow"
+    ).select_columns([key, "window_start", "value"])
+    return with_w.groupby([key, "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def sliding_counts(events: rd.Dataset, size_s: int, step_s: int,
+                   key: str = "event_type") -> rd.Dataset:
+    """Sliding windows: each event explodes into the size/step windows containing
+    it; then one groupby. Output: (key, window_start, n_events)."""
+    n_win = size_s // step_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_s = (
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        )
+        keys = batch[key].to_pylist()
+        out_k, out_w = [], []
+        base = (epoch_s // step_s) * step_s
+        for i in range(len(keys)):
+            for j in range(n_win):
+                w = base[i] - j * step_s
+                if w + size_s > epoch_s[i] >= w:
+                    out_k.append(keys[i])
+                    out_w.append(int(w))
+        return pa.table({key: pa.array(out_k), "window_start": pa.array(out_w, pa.int64())})
+
+    return (events.map_batches(explode, batch_format="pyarrow")
+            .groupby([key, "window_start"]).aggregate(Count(alias_name="n_events")))
+
+
+def session_counts(events: rd.Dataset, gap_s: int = 1800,
+                   key: str = "user_id") -> rd.Dataset:
+    """Per-key session count: sessions split where the sorted inter-event gap
+    exceeds ``gap_s``. Output: (user_id, n_sessions, n_events)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].values.astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > gap_s * 1_000_000
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "n_events": [len(ts)],
+        })
+
+    return events.select_columns([key, "ts"]).groupby(key).map_groups(
+        sessions, batch_format="pandas"
+    )

@@ -1,0 +1,197 @@
+"""Unit tests for the training-data operators: dedup families, similarity,
+text stats, windows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from document_processor_ray.functions import dedup as dd
+from document_processor_ray.functions import similarity as sim
+from document_processor_ray.functions import textstats as ts
+from document_processor_ray.stages import window as win
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away into the "
+        "green forest near the old river bank every single morning").split()
+
+
+def _near_dup_docs():
+    docs = []
+    for i in range(8):
+        words = list(BASE)
+        words[i] = f"tweak{i}"  # near-duplicates of each other
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    rng = np.random.RandomState(0)
+    vocab = [f"w{j}" for j in range(500)]
+    for i in range(8, 40):
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, size=40))})
+    docs.append({"doc_id": 40, "text": docs[10]["text"]})  # exact dup of doc 10
+    return docs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup():
+    ds = rd.from_items(_near_dup_docs())
+    out = dd.exact_dedup(ds).to_pandas()
+    assert len(out) == 40  # 41 docs, one exact dup collapsed
+    row = out[out.n_dupes > 1]
+    assert len(row) == 1 and row.iloc[0]["doc_id"] == 10 and row.iloc[0]["n_dupes"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_near_dups():
+    ds = rd.from_items(_near_dup_docs())
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    # all near-dup pairs among docs 0..7 should surface
+    want = {(i, j) for i in range(8) for j in range(i + 1, 8)}
+    assert want <= got
+    # no random doc should pair with the near-dup cluster
+    assert not any((a < 8) != (b < 8) for a, b in got if (a, b) != (10, 40))
+    # estimated jaccard is high for the clones
+    assert (pairs[pairs.a < 8].est_jaccard > 0.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_deterministic_across_runs():
+    ds = rd.from_items(_near_dup_docs())
+    p1 = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas().sort_values(["a", "b"])
+    p2 = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas().sort_values(["a", "b"])
+    pd.testing.assert_frame_equal(p1.reset_index(drop=True), p2.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs():
+    ds = rd.from_items(_near_dup_docs())
+    pairs = dd.simhash_pairs(ds, max_hamming=6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert (10, 40) in got  # exact dup → hamming 0
+    assert all(h <= 6 for h in pairs.hamming)
+    # hamming symmetric sanity: recompute one pair directly
+    sh = dd.SimHasher()
+    docs = {d["doc_id"]: d["text"] for d in _near_dup_docs()}
+    for a, b, h in zip(pairs.a, pairs.b, pairs.hamming):
+        assert bin(sh.simhash(docs[a]) ^ sh.simhash(docs[b])).count("1") == h
+
+
+def test_ngram_jaccard_scalar():
+    assert dd.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dd.ngram_jaccard("a b c d", "x y z w") == 0.0
+    j = dd.ngram_jaccard(" ".join(BASE), " ".join(BASE[:-1] + ["changed"]))
+    assert 0.5 < j < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_exact():
+    docs = _near_dup_docs()
+    ds = rd.from_items(docs)
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
+    verified = dd.verify_pairs_exact(pairs, ds, threshold=0.6).to_pandas()
+    assert len(verified) > 0
+    assert (verified.jaccard >= 0.6).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_matches_numpy_bruteforce():
+    rng = np.random.RandomState(3)
+    mat = rng.randn(200, 16).astype(np.float32)
+    items = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+    ds = rd.from_items(items)
+    q = mat[:5].astype(np.float64)
+    out = sim.knn_cosine(ds, q, [0, 1, 2, 3, 4], k=7).to_pandas()
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(5):
+        sims = m @ m[qi]
+        sims[qi] = -np.inf
+        order = np.lexsort((np.arange(200), -sims))[:7]
+        got = out[out.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        assert got == order.tolist(), qi
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_recall():
+    rng = np.random.RandomState(4)
+    # clustered data so IVF recall is meaningful
+    centers = rng.randn(8, 16) * 4
+    mat = np.concatenate([centers[i % 8] + rng.randn(1, 16) for i in range(400)])
+    items = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(400)]
+    ds = rd.from_items(items)
+    q = mat[:3]
+    exact = sim.knn_cosine(ds, q, [0, 1, 2], k=10).to_pandas()
+    approx = sim.knn_cosine_ivf(ds, q, [0, 1, 2], k=10, n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_text_stats_batch():
+    b = pa.table({"doc_id": [1, 2], "text": ["Hello, World 42!", ""]})
+    out = ts.text_stats_batch(b)
+    r = out.to_pylist()[0]
+    assert r["n_tokens"] == 3 and r["n_punct"] == 2 and r["n_digit"] == 2
+    assert r["n_upper"] == 2 and r["n_chars_seen"] == 16
+    z = out.to_pylist()[1]
+    assert z["n_tokens"] == 0 and z["n_chars_seen"] == 0
+
+
+def test_langid_heuristic():
+    samples = {
+        "en": "the cat and the dog are in the house with a ball for the kids",
+        "fr": "le chat et le chien sont dans la maison avec une balle pour les enfants",
+        "de": "die katze und der hund sind in dem haus mit einem ball für die kinder",
+        "es": "el gato y el perro están en la casa con una pelota para los niños",
+    }
+    lid = ts.LangId()
+    b = pa.table({"doc_id": list(range(4)), "text": list(samples.values())})
+    out = lid(b).to_pylist()
+    for row, want in zip(out, samples.keys()):
+        assert row["pred_lang"] == want, (want, row)
+    und = lid(pa.table({"doc_id": [9], "text": ["zzz qqq xxx"]})).to_pylist()[0]
+    assert und["pred_lang"] == "und"
+
+
+def test_fingerprint_properties():
+    b = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["abcdefghij" * 5, "abcdefghij" * 5, "totally different"]})
+    out = ts.fingerprint_batch(b).to_pylist()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+    assert len(out[0]["fingerprint"]) == 16
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tumbling_window_matches_pandas():
+    ts_vals = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10",
+         "2024-01-01 01:59", "2024-01-01 02:00"])
+    df = pd.DataFrame({"ts": ts_vals, "event_type": ["a", "a", "a", "b", "b"],
+                       "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ds = rd.from_pandas(df)
+    out = win.tumbling_counts(ds, size_s=3600).to_pandas().sort_values(
+        ["event_type", "window_start"]).reset_index(drop=True)
+    assert out.n_events.tolist() == [2, 1, 1, 1]
+    assert out.window_start.tolist() == [
+        1704067200, 1704070800, 1704070800, 1704074400]
+    assert out.min_value.tolist() == [1.0, 3.0, 4.0, 5.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_counts():
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for m in [0, 5, 10, 120, 125, 500]:  # 3 sessions with gap 30min
+        rows.append({"user_id": 1, "ts": base + pd.Timedelta(minutes=m)})
+    rows.append({"user_id": 2, "ts": base})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = win.session_counts(ds, gap_s=1800).to_pandas().sort_values("user_id")
+    assert out.n_sessions.tolist() == [3, 1]
+    assert out.n_events.tolist() == [6, 1]
