@@ -1,0 +1,178 @@
+"""Bench harness.
+
+Plain run: times the headline extraction pipeline plus a set of operator queries
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) at
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "extract_e2e_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs": N, "docs_per_s": N}
+
+``--scaling``: runs the identical headline job in two fresh processes at 8 and 32
+CPUs on the same input (sandbox proxy for N vs 4N nodes), prints throughputs plus
+scaling efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo), and appends the result
+to BASELINE.md.
+
+The interleaved bench corpus is derived deterministically from the driver's flat
+documents table (seeded; cached under /tmp so both scaling levels read the exact
+same bytes; one untimed warm read makes level timings page-cache-fair).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "10"))
+SEED = 42
+
+BENCH_QUERIES = [
+    "doc_stats", "glyph_clean", "exact_dedup", "minhash_pairs", "simhash_pairs",
+    "knn_cosine", "knn_ivf", "events_tumbling", "sessions", "lineitem_agg",
+    "orders_by_segment",
+]
+
+
+def prepare_corpus() -> tuple[str, int]:
+    """Deterministic cached interleaved corpus derived from the flat docs table."""
+    import pyarrow.parquet as pq
+
+    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}-r{REPEAT}-s{SEED}"
+    out_dir = f"/tmp/graft_bench/corpus-{tag}"
+    done = os.path.join(out_dir, "_DONE")
+    flat_rows = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    n_docs = flat_rows * REPEAT
+    if os.path.exists(done):
+        return out_dir, n_docs
+    from document_processor_ray.data.synth import write_corpus_from_flat
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    flat = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    write_corpus_from_flat(flat, out_dir, seed=SEED, repeat=REPEAT, n_files=32)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir, n_docs
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    corpus_dir, n_docs = prepare_corpus()
+    # warm the OS page cache so both scaling levels measure compute, not first read
+    for p in sorted(os.listdir(corpus_dir)):
+        if p.endswith(".parquet"):
+            with open(os.path.join(corpus_dir, p), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+    from document_processor_ray.pipelines.extract import (
+        ExtractConfig, build_extraction, build_media_table)
+
+    out_dir = f"/tmp/graft_bench/out-{CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = ExtractConfig(parse_concurrency=(1, CPUS))
+    t0 = time.perf_counter()
+    ds = build_extraction(corpus_dir, cfg)
+    ds.write_parquet(os.path.join(out_dir, "docs"))
+    build_media_table(corpus_dir, cfg).write_parquet(os.path.join(out_dir, "media"))
+    headline = time.perf_counter() - t0
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        print(ds.stats(), file=sys.stderr)
+
+    from document_processor_ray.pipelines.queries import QUERIES
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume without driver materialization of big data
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "extract_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": CPUS,
+        "docs": n_docs,
+        "docs_per_s": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=REPO)
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_s_{lo}": results[lo]["docs_per_s"],
+        f"docs_per_s_{hi}": results[hi]["docs_per_s"],
+        "docs": results[lo]["docs"],
+        "sf": SF_DIR,
+    }
+    _record_baseline(summary, lo, hi)
+    return summary
+
+
+def _record_baseline(s: dict, lo: int, hi: int) -> None:
+    import datetime
+
+    line = (
+        f"| measured {datetime.date.today()} | extraction e2e, {s['docs']} docs over "
+        f"`{s['sf']}`-derived corpus | {s[f'docs_per_s_{lo}']} docs/s @ {lo} cpus, "
+        f"{s[f'docs_per_s_{hi}']} docs/s @ {hi} cpus | scaling efficiency "
+        f"(t{lo}/t{hi})/{hi // lo} = **{s['value']}** |\n"
+    )
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path, "a") as f:
+        f.write(
+            "\n## Measured scaling (bench.py --scaling)\n\n"
+            "| run | workload | throughput | efficiency |\n|---|---|---|---|\n"
+            + line
+            if "## Measured scaling" not in open(path).read()
+            else line
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

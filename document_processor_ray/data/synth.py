@@ -247,15 +247,46 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 8,
     return paths
 
 
-def corpus_from_flat(flat_docs: pa.Table, seed: int = 42, **knobs) -> pa.Table:
+def corpus_from_flat(flat_docs: pa.Table, seed: int = 42, repeat: int = 1,
+                     **knobs) -> pa.Table:
     """Derive an interleaved corpus deterministically from the driver's flat
     ``documents`` table (doc_id:int64, text, lang, source, n_chars): each flat row's
-    words become the generator vocabulary for one interleaved doc."""
+    words become the generator vocabulary for ``repeat`` interleaved docs."""
     rows = []
     ids = flat_docs["doc_id"].to_pylist()
     texts = flat_docs["text"].to_pylist()
     for did, text in zip(ids, texts):
         vocab = (text or "").split() or ["empty"]
-        rng = random.Random(f"{seed}|flat|{did}")
-        rows.append(gen_doc(f"doc-{did:08d}", rng, vocab=vocab, **knobs))
+        for rep in range(repeat):
+            rng = random.Random(f"{seed}|flat|{did}|{rep}" if rep else f"{seed}|flat|{did}")
+            suffix = f"-{rep}" if rep else ""
+            rows.append(gen_doc(f"doc-{did:08d}{suffix}", rng, vocab=vocab, **knobs))
     return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+
+
+def write_corpus_from_flat(flat_docs: pa.Table, out_dir: str, seed: int = 42,
+                           repeat: int = 1, n_files: int = 16, **knobs) -> list[str]:
+    """Fragment-wise variant of ``corpus_from_flat`` for bench-scale corpora."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ids = flat_docs["doc_id"].to_pylist()
+    texts = flat_docs["text"].to_pylist()
+    work = [(d, t, r) for d, t in zip(ids, texts) for r in range(repeat)]
+    per = (len(work) + n_files - 1) // n_files
+    paths = []
+    for f in range(n_files):
+        chunk = work[f * per : (f + 1) * per]
+        if not chunk:
+            break
+        rows = []
+        for did, text, rep in chunk:
+            vocab = (text or "").split() or ["empty"]
+            rng = random.Random(f"{seed}|flat|{did}|{rep}" if rep else f"{seed}|flat|{did}")
+            suffix = f"-{rep}" if rep else ""
+            rows.append(gen_doc(f"doc-{did:08d}{suffix}", rng, vocab=vocab, **knobs))
+        tbl = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        path = os.path.join(out_dir, f"part-{f:05d}.parquet")
+        pq.write_table(tbl, path)
+        paths.append(path)
+    return paths

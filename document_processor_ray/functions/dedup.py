@@ -47,20 +47,20 @@ def add_text_sha(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                 text_col: str = "text") -> rd.Dataset:
     """Keep the min-id representative per identical text. Returns
-    (text_sha, doc_id, n_dupes); shuffle carries only (sha, id) pairs."""
+    (text_sha, doc_id, n_dupes); the shuffle carries only (sha, id) pairs,
+    partitioned coarsely (groupops) — never one Ray group per hash."""
+    from ..core.groupops import grouped_reduce
+
     hashed = ds.map_batches(
         lambda b: add_text_sha(b, text_col).select(["text_sha", id_col]),
         batch_format="pyarrow",
     )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        return pd.DataFrame(
-            {"text_sha": [g["text_sha"].iloc[0]], "doc_id": [g[id_col].iloc[0]],
-             "n_dupes": [len(g)]}
-        )
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("text_sha")[id_col].agg(["min", "size"]).reset_index()
+        return agg.rename(columns={"min": "doc_id", "size": "n_dupes"})
 
-    return hashed.groupby("text_sha").map_groups(keep_first, batch_format="pandas")
+    return grouped_reduce(hashed, ["text_sha"], reduce_part)
 
 
 # ---------------------------------------------------------------------------
@@ -70,8 +70,14 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 
 class MinHashSigner:
     """Actor-pool stage: word-shingle MinHash signatures. Permutation parameters
-    are generated once per actor from a fixed seed (deterministic across the
-    cluster)."""
+    and the token-hash cache are built once per actor (deterministic seed, so
+    signatures are identical across the cluster). Shingle hashes are combined
+    from cached per-token hashes with vectorized polynomial mixing — no
+    per-shingle cryptographic hashing in the hot loop."""
+
+    _C1 = np.uint64(0x9E3779B97F4A7C15)
+    _C2 = np.uint64(0xBF58476D1CE4E5B9)
+    _C3 = np.uint64(0x94D049BB133111EB)
 
     def __init__(self, k: int = 64, shingle: int = 3, text_col: str = "text",
                  id_col: str = "doc_id", seed: int = 1234):
@@ -80,15 +86,38 @@ class MinHashSigner:
         self.b = rng.randint(0, (1 << 61) - 1, size=k, dtype=np.uint64)
         self.k, self.shingle = k, shingle
         self.text_col, self.id_col = text_col, id_col
+        self._tok_cache: dict[str, int] = {}
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                if len(cache) < 1_000_000:
+                    cache[t] = h
+            out[i] = h
+        return out
 
     def signature(self, text: str) -> np.ndarray:
         toks = (text or "").split()
-        if len(toks) < self.shingle:
-            shingles = [" ".join(toks)] if toks else [""]
+        n = self.shingle
+        if not toks:
+            h = np.zeros(1, dtype=np.uint64)
         else:
-            shingles = [" ".join(toks[i : i + self.shingle])
-                        for i in range(len(toks) - self.shingle + 1)]
-        h = np.unique(_stable_u64(shingles))
+            th = self._tok_hashes(toks)
+            if len(th) < n:
+                h = th[:1].copy()
+                for x in th[1:]:
+                    h = h * self._C1 + x
+            else:
+                # vectorized 3-token polynomial shingle hash (wraps mod 2^64)
+                h = th[: len(th) - n + 1] * self._C1
+                for j in range(1, n):
+                    h = h + th[j : len(th) - n + 1 + j] * (self._C2 if j == 1 else self._C3)
+                h = np.unique(h)
         # sig[i] = min over shingles of (a_i * h + b_i) mod 2^61-1
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
@@ -134,29 +163,32 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, k: int = 64, bands: int = 16,
         lambda b: _explode_bands(b, bands, rows), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        ids = g["doc_id"].tolist()
-        sigs_np = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+    from ..core.groupops import grouped_reduce
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse partition holds many complete buckets: vectorized prefilter
+        to multi-member buckets, then pairwise signature agreement per bucket."""
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        multi = g[g.duplicated(["band", "band_hash"], keep=False)]
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float(np.mean(sigs_np[i] == sigs_np[j]))
-                if est >= threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(round(est, 6))
+        for _, grp in multi.groupby(["band", "band_hash"], sort=False):
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            sigs_np = np.stack([np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]])
+            for i in range(len(ids)):
+                eq = (sigs_np[i + 1 :] == sigs_np[i]).mean(axis=1)
+                for off in np.flatnonzero(eq >= threshold):
+                    out_a.append(ids[i]); out_b.append(ids[i + 1 + off])
+                    out_j.append(round(float(eq[off]), 6))
         return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = grouped_reduce(banded, ["band_hash"], part_pairs)
 
     # a pair can surface from several bands → keep one record per (a, b)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
 
-    return pairs.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return grouped_reduce(pairs, ["a", "b"], dedupe_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -208,21 +240,26 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 3, text_col: str = "text
                          "key": pa.array(keys, pa.int32()),
                          "simhash": pa.array(hs, pa.uint64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids, hs = g["doc_id"].tolist(), g["simhash"].tolist()
+    from ..core.groupops import grouped_reduce
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        multi = g[g.duplicated(["band", "key"], keep=False)]
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if ham <= max_hamming:
-                    a.append(ids[i]); b.append(ids[j]); d.append(ham)
+        for _, grp in multi.groupby(["band", "key"], sort=False):
+            grp = grp.sort_values("doc_id")
+            ids, hs = grp["doc_id"].tolist(), grp["simhash"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if ham <= max_hamming:
+                        a.append(ids[i]); b.append(ids[j]); d.append(ham)
         return pd.DataFrame({"a": a, "b": b, "hamming": d})
 
-    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-             .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                                batch_format="pandas")
+    pairs = grouped_reduce(
+        sigs.map_batches(explode, batch_format="pyarrow"), ["band", "key"], part_pairs)
+    return grouped_reduce(pairs, ["a", "b"],
+                          lambda g: g.drop_duplicates(["a", "b"]))
 
 
 # ---------------------------------------------------------------------------

@@ -141,12 +141,65 @@ def build_extraction(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
     return out
 
 
-def run_extraction(source, out_dir: str, cfg: ExtractConfig | None = None) -> str:
-    """Execute the pipeline and write partitioned parquet output."""
+def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
+    """Columnar media sink: payloads → decode → canonical re-encode →
+    (media_ref, content_type, width, height, data) rows.
+
+    Runs as its own column-pruned pass (only doc payload columns leave storage)
+    so the main extraction pipeline never writes per-blob files — at corpus
+    scale a content-addressed blob-per-file store means billions of tiny
+    objects; a parquet/Lance media table is the scalable layout. Duplicate refs
+    across blocks are collapsed per batch; global duplicates are harmless
+    (ref → identical canonical bytes by construction)."""
     cfg = cfg or ExtractConfig()
-    if cfg.media_dir is None:
-        cfg.media_dir = os.path.join(out_dir, "media")
+    if isinstance(source, (str, list)):
+        ds = rd.read_parquet(_parquet_paths(source), columns=["payloads"])
+    elif isinstance(source, pa.Table):
+        ds = rd.from_arrow(source.select(["payloads"]))
+    else:
+        ds = source.select_columns(["payloads"])
+
+    from ..core import codec
+    from ..functions.text_clean import clean_text
+
+    def to_media(b: pa.Table) -> pa.Table:
+        refs, ctypes, ws, hs, datas = [], [], [], [], []
+        seen = set()
+        for plist in b["payloads"].to_pylist():
+            for p in plist or []:
+                try:
+                    dec = codec.decode_payload(p["data"])
+                except codec.CodecError:
+                    continue
+                canonical = codec.reencode(dec, clean_text)
+                ref = codec.media_ref_of(canonical)
+                if ref in seen:
+                    continue
+                seen.add(ref)
+                refs.append(ref)
+                if isinstance(dec, codec.DecodedImage):
+                    ctypes.append("image/x-synth"); ws.append(dec.width); hs.append(dec.height)
+                else:
+                    ctypes.append("table/x-synth"); ws.append(0); hs.append(0)
+                datas.append(canonical)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "data": pa.array(datas, pa.large_binary()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+
+
+def run_extraction(source, out_dir: str, cfg: ExtractConfig | None = None,
+                   write_media: bool = True) -> str:
+    """Execute the pipeline and write partitioned parquet output (+ media table)."""
+    cfg = cfg or ExtractConfig()
     ds = build_extraction(source, cfg)
     docs_dir = os.path.join(out_dir, "docs")
     ds.write_parquet(docs_dir)
+    if write_media:
+        build_media_table(source, cfg).write_parquet(os.path.join(out_dir, "media"))
     return docs_dir

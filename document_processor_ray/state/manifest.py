@@ -105,8 +105,8 @@ def run_resumable(
     waves_dir = os.path.join(out_dir, "waves")
     os.makedirs(man_dir, exist_ok=True)
     os.makedirs(waves_dir, exist_ok=True)
-    if cfg.media_dir is None:
-        cfg = ExtractConfig(**{**cfg.__dict__, "media_dir": os.path.join(out_dir, "media")})
+
+    from ..pipelines.extract import build_media_table
 
     ran = skipped = 0
     totals = {"rows": 0, "spans": 0, "ocr_fast": 0, "ocr_full": 0, "errors": 0}
@@ -129,6 +129,7 @@ def run_resumable(
         ds = build_extraction(group, cfg)
         os.makedirs(docs_dir, exist_ok=True)
         ds.write_parquet(docs_dir)
+        build_media_table(group, cfg).write_parquet(os.path.join(wave_dir, "media"))
         wall = time.perf_counter() - t0
         metrics = _wave_metrics(docs_dir, compute_hash)
         wall_metrics = {**metrics, "wall_s": round(wall, 3)}

@@ -98,3 +98,24 @@ def test_media_store_written(tmp_path):
     for f in files[:20]:
         data = open(f, "rb").read()
         assert os.path.basename(f)[:-4] == hashlib.sha256(data).hexdigest()[:16]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_table_matches_span_refs(tmp_path):
+    """The columnar media sink covers exactly the refs the extraction emits
+    (minus nothing: every non-empty media_ref has a decodable payload)."""
+    from document_processor_ray.pipelines.extract import build_media_table
+
+    corpus = gen_corpus(80, seed=12, media_rate=0.5, corrupt_rate=0.05)
+    cfg = ExtractConfig(parse_concurrency=(1, 2))
+    rows = build_extraction(corpus, cfg).take_all()
+    span_refs = {s["media_ref"] for r in rows for s in r["spans"] if s["media_ref"]}
+    media = build_media_table(corpus, cfg).take_all()
+    media_refs = {m["media_ref"] for m in media}
+    assert span_refs <= media_refs
+    # stored canonical bytes re-hash to the ref
+    import hashlib as hl
+
+    for m in media[:20]:
+        assert m["media_ref"] == "media://" + hl.sha256(m["data"]).hexdigest()[:16]
+        assert m["content_type"] in ("image/x-synth", "table/x-synth")

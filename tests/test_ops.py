@@ -16,7 +16,9 @@ from document_processor_ray.functions import textstats as ts
 from document_processor_ray.stages import window as win
 
 BASE = ("the quick brown fox jumps over the lazy dog and runs far away into the "
-        "green forest near the old river bank every single morning").split()
+        "green forest near the old river bank every single morning").split() * 3
+# ×3 keeps pairwise shingle-Jaccard of the tweak-docs ≈0.9, far from the LSH
+# threshold, so banding recall is deterministic-in-practice for the test
 
 
 def _near_dup_docs():
