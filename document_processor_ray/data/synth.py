@@ -242,7 +242,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, n_files: int = 8,
         ]
         tbl = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
         path = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(tbl, path)
+        # small row groups → row-group statistics pruning on the n_spans metadata
+        # column actually works for the giant-doc branch read
+        pq.write_table(tbl, path, row_group_size=512)
         paths.append(path)
     return paths
 
@@ -287,6 +289,6 @@ def write_corpus_from_flat(flat_docs: pa.Table, out_dir: str, seed: int = 42,
             rows.append(gen_doc(f"doc-{did:08d}{suffix}", rng, vocab=vocab, **knobs))
         tbl = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
         path = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(tbl, path)
+        pq.write_table(tbl, path, row_group_size=512)
         paths.append(path)
     return paths

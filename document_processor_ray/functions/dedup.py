@@ -263,6 +263,141 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 3, text_col: str = "text
 
 
 # ---------------------------------------------------------------------------
+# Cluster resolution: connected components over duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: rd.Dataset, n_iters: int = 5,
+                   driver_threshold: int = 1_000_000) -> rd.Dataset:
+    """(a, b) duplicate pairs → (node, cluster) where cluster = min node id of
+    the connected component.
+
+    Hybrid (ray_guide: union-find on the driver only if the candidate set is
+    provably small): below ``driver_threshold`` pairs, an exact driver-side
+    union-find (duplicate pairs are a tiny fraction of any corpus); above it,
+    distributed min-label propagation — each round every node takes the min
+    label over itself and its neighbors (one coarse-partition shuffle per round;
+    converges in graph-diameter rounds — near-dup clusters are shallow).
+    Both paths are deterministic and produce identical clusters."""
+    from ..core.groupops import grouped_reduce
+
+    if pairs.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows_ab = pairs.select_columns(["a", "b"]).take_all()
+        for r in rows_ab:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by min so the representative is the min node id
+                lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+                if isinstance(ra, int):
+                    lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted({n: find(n) for n in parent.keys() | set()}.items() |
+                     {(n, find(n)) for r in rows_ab for n in (r["a"], r["b"])})
+        import pyarrow as _pa
+
+        nodes = [n for n, _ in out]
+        clusters = [c for _, c in out]
+        return rd.from_arrow(_pa.table({"node": nodes, "cluster": clusters}))
+
+    sch = pairs.schema()
+    a_type = dict(zip(sch.names, sch.types))["a"]
+    int_ids = (pa.types.is_integer(a_type) if isinstance(a_type, pa.DataType)
+               else np.issubdtype(np.dtype(a_type), np.integer))
+
+    def enc(v):
+        # sortable string encoding: lexicographic min == numeric min for ints,
+        # natural for string doc_ids. Avoids the int→float NaN coercion that
+        # pandas merges inflict on tagged-null join columns (2 vs 2.0 would
+        # silently become distinct group keys).
+        return f"{v:020d}" if int_ids else str(v)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = [enc(v) for v in b["a"].to_pylist()]
+        c = [enc(v) for v in b["b"].to_pylist()]
+        return pa.table({"node": a + c, "nbr": c + a})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    labels = edges.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow",
+    )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    labels = grouped_reduce(labels, ["node"], min_label).materialize()
+    for _ in range(n_iters):
+        # neighbor labels via an explicit partitioned hash join (ray_guide
+        # 'Joins and lookups'): tag both sides, co-partition on the join key,
+        # pandas-merge inside each partition. (Dataset.join in ray 2.49 fails on
+        # empty hash partitions: 'No match ... on right side of the join'.)
+        tagged_edges = edges.map_batches(
+            lambda b: pa.table({"jkey": b["nbr"], "node": b["node"],
+                                "label": pa.array([""] * len(b)),
+                                "src": pa.array(["e"] * len(b))}),
+            batch_format="pyarrow",
+        )
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table({"jkey": b["node"],
+                                "node": pa.array([""] * len(b)),
+                                "label": b["label"],
+                                "src": pa.array(["l"] * len(b))}),
+            batch_format="pyarrow",
+        )
+
+        def part_join(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g.src == "l"][["jkey", "label"]]
+            ed = g[g.src == "e"][["jkey", "node"]]
+            m = ed.merge(lab, on="jkey")
+            return m[["node", "label"]]
+
+        nbr_labels = grouped_reduce(tagged_edges.union(tagged_labels),
+                                    ["jkey"], part_join)
+        labels = grouped_reduce(labels.union(nbr_labels), ["node"], min_label)
+        labels = labels.materialize()  # small: one row per node in any dup pair
+    def decode(b: pa.Table) -> pa.Table:
+        if int_ids:
+            return pa.table({
+                "node": pa.array([int(v) for v in b["node"].to_pylist()], pa.int64()),
+                "cluster": pa.array([int(v) for v in b["label"].to_pylist()], pa.int64()),
+            })
+        return pa.table({"node": b["node"], "cluster": b["label"]})
+
+    return labels.map_batches(decode, batch_format="pyarrow")
+
+
+def dedup_resolve(ds: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id",
+                  n_iters: int = 5) -> rd.Dataset:
+    """End-to-end near-dedup: keep one representative (min id) per cluster.
+    The (small) drop-set is broadcast; the corpus streams through a filter."""
+    clusters = dedup_clusters(pairs, n_iters)
+    drop = set()
+    for row in clusters.take_all():
+        if row["node"] != row["cluster"]:
+            drop.add(row["node"])
+    ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        import pyarrow.compute as pc
+
+        mask = pa.array([v not in d for v in b[id_col].to_pylist()])
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard verification & embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -262,6 +262,63 @@ FROM o GROUP BY user_id
 """
 
 
+def q_events_sliding(sf_dir):
+    """Sliding windows size=2h step=1h: each event explodes into exactly 2
+    windows; SQL mirror unnests the same two window starts."""
+    return win.sliding_counts(_t(sf_dir, "events", ["event_type", "ts"]),
+                              size_s=7200, step_s=3600)
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type, window_start, count(*) AS n_events FROM (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600 - 3600 * g.i AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS i) g)
+GROUP BY event_type, window_start
+"""
+
+
+def q_distinct_users(sf_dir):
+    """Exact count-distinct via coarse-partitioned dedupe (groupops) — the
+    shuffle carries (event_type, user_id) pairs once, not per-event rows."""
+    import pandas as pd
+
+    from ..core.groupops import grouped_reduce
+
+    pairs = _t(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["event_type", "user_id"])
+               .groupby("event_type").size().reset_index(name="n_partial"))
+        return out
+
+    partial = grouped_reduce(pairs, ["event_type"], reduce_part)
+    return _cast_int64(
+        partial.groupby("event_type").aggregate(Sum("n_partial", alias_name="n_users")),
+        ["n_users"],
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
+def q_top_orders(sf_dir):
+    return (_t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 def q_active_users(sf_dir):
     counted = _t(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
         Count(alias_name="n_events"))
@@ -404,6 +461,62 @@ def q_extract_flagship(sf_dir):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_near_dedup_resolve(sf_dir):
+    """End-to-end near-dedup over documents: MinHash-LSH pairs → connected
+    components → keep min-id representative per cluster."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    kept = dd.dedup_resolve(docs, pairs)
+    return kept.select_columns(["doc_id"])
+
+
+def q_html_strip_stats(sf_dir):
+    """Standalone HTML boilerplate-strip stage over the interleaved corpus:
+    per html doc, spans kept vs dropped by the anchor-density rule."""
+    import ray.data as _rd
+
+    from ..functions import text_clean as tc
+
+    corpus = _interleaved_corpus(sf_dir)
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, kept, dropped = [], [], []
+        for did, spans in zip(b["doc_id"].to_pylist(), b["spans"].to_pylist()):
+            spans = spans or []
+            if not any(tc.looks_like_html(s["text"]) for s in spans):
+                continue
+            k = d = 0
+            for s in spans:
+                if s["kind"] in ("table", "picture", "formula", "code"):
+                    k += 1
+                    continue
+                if s["kind"] == "boilerplate":
+                    d += 1
+                    continue
+                vis = tc.visible_text(s["text"])
+                t = tc.word_count(vis)
+                na = tc.word_count(tc.visible_text(tc.strip_anchors(s["text"])))
+                if t == 0 or 2 * (t - na) >= t:
+                    d += 1
+                else:
+                    k += 1
+            ids.append(did); kept.append(k); dropped.append(d)
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "n_kept": pa.array(kept, pa.int32()),
+                         "n_dropped": pa.array(dropped, pa.int32())})
+
+    return _rd.from_arrow(corpus).map_batches(stats, batch_format="pyarrow")
+
+
+def q_approx_distinct_users(sf_dir):
+    """HLL sketch count-distinct (mergeable-sketch pattern); single-row result."""
+    from ..functions.sketch import approx_distinct
+
+    est = approx_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"metric": ["approx_distinct_users"],
+                     "estimate": pa.array([est], pa.int64())})
+
+
 def q_extract_metrics(sf_dir):
     from .extract import ExtractConfig, build_extraction
 
@@ -446,8 +559,14 @@ QUERIES = {
     "knn_ivf": (q_knn_ivf, None),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
+    "near_dedup_resolve": (q_near_dedup_resolve, None),
+    "html_strip_stats": (q_html_strip_stats, None),
+    "approx_distinct_users": (q_approx_distinct_users, None),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),

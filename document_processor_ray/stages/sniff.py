@@ -44,6 +44,9 @@ def list_offsets(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]
 
 def sniff_batch(batch: pa.Table) -> pa.Table:
     """Append doc_class / est_cost columns. One vectorized pass over span texts."""
+    from ..core import limit_arrow_threads
+
+    limit_arrow_threads(1)
     n = batch.num_rows
     if n == 0:
         return batch.append_column("doc_class", pa.array([], pa.string())).append_column(

@@ -1,0 +1,86 @@
+"""Tests for the HLL sketch and connected-components dedup resolution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from document_processor_ray.functions.dedup import dedup_clusters, dedup_resolve
+from document_processor_ray.functions.sketch import HLL, approx_distinct
+
+
+def test_hll_accuracy_driver_side():
+    import hashlib
+
+    for true_n in (100, 5000, 50000):
+        h = HLL(p=12)
+        vals = np.array(
+            [int.from_bytes(hashlib.blake2b(str(i).encode(), digest_size=8).digest(),
+                            "little") for i in range(true_n)],
+            dtype=np.uint64)
+        h.add_hashes(vals)
+        est = h.estimate()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    import hashlib
+
+    def hashes(lo, hi):
+        return np.array(
+            [int.from_bytes(hashlib.blake2b(str(i).encode(), digest_size=8).digest(),
+                            "little") for i in range(lo, hi)], dtype=np.uint64)
+
+    a, b = HLL(), HLL()
+    a.add_hashes(hashes(0, 3000))
+    b.add_hashes(hashes(2000, 6000))  # overlap 1000
+    u = HLL()
+    u.add_hashes(hashes(0, 6000))
+    assert a.merge(b).estimate() == u.estimate()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_matches_exact():
+    items = [{"user_id": i % 700} for i in range(5000)]
+    est = approx_distinct(rd.from_items(items), "user_id")
+    assert abs(est - 700) / 700 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_components():
+    # two components: {1,2,3,4} (chain) and {10,11}; singleton 99 not in pairs
+    pairs = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4}, {"a": 10, "b": 11},
+    ])
+    out = {r["node"]: r["cluster"] for r in dedup_clusters(pairs, n_iters=4).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_distributed_path_matches_driver_path():
+    pairs_rows = [{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 3, "b": 4},
+                  {"a": 10, "b": 11}, {"a": 5, "b": 4}]
+    p1 = rd.from_items(pairs_rows)
+    p2 = rd.from_items(pairs_rows)
+    drv = {r["node"]: r["cluster"] for r in dedup_clusters(p1).take_all()}
+    dist = {r["node"]: r["cluster"]
+            for r in dedup_clusters(p2, n_iters=5, driver_threshold=0).take_all()}
+    assert drv == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_string_ids():
+    pairs = rd.from_items([{"a": "doc-b", "b": "doc-a"}, {"a": "doc-b", "b": "doc-c"}])
+    out = {r["node"]: r["cluster"] for r in dedup_clusters(pairs).take_all()}
+    assert out == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_resolve_keeps_representatives():
+    docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(12)])
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 5}, {"a": 7, "b": 8}])
+    kept = sorted(r["doc_id"] for r in dedup_resolve(docs, pairs).take_all())
+    # drop 2,5 (cluster of 1) and 8 (cluster of 7)
+    assert kept == [0, 1, 3, 4, 6, 7, 9, 10, 11]
