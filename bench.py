@@ -115,16 +115,39 @@ def run_bench() -> dict:
     cfg = ExtractConfig(engine_effort=EFFORT)
     # best-of-2: the second run reuses warm Ray worker processes, removing
     # actor-spawn ramp jitter from the measurement
+    import threading
+
     headline, parse_ms_per_doc = None, None
     for attempt in range(2):
         out_dir = f"/tmp/graft_bench/out-{CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
+        # same threaded three-plan execution as run_extraction (a sequential or
+        # unioned plan loses ~1.5x at the high level), but keeping the small
+        # branch handle so its stats feed the in-situ parse_ms_per_doc probe
         small_out, big_out = _branches(corpus_dir, cfg)
-        small_out.write_parquet(os.path.join(out_dir, "docs"))
+        media_out = build_media_table(corpus_dir, cfg)
+        docs_dir = os.path.join(out_dir, "docs")
+        errs = []
+
+        def _w(fn):
+            try:
+                fn()
+            except BaseException as exc:
+                errs.append(exc)
+
+        threads = [threading.Thread(target=_w, args=(
+            lambda: media_out.write_parquet(os.path.join(out_dir, "media")),))]
         if big_out is not None:
-            big_out.write_parquet(os.path.join(out_dir, "docs"))
-        build_media_table(corpus_dir, cfg).write_parquet(os.path.join(out_dir, "media"))
+            threads.append(threading.Thread(target=_w, args=(
+                lambda: big_out.write_parquet(docs_dir),)))
+        for th in threads:
+            th.start()
+        _w(lambda: small_out.write_parquet(docs_dir))
+        for th in threads:
+            th.join()
+        if errs:
+            raise errs[0]
         dt = time.perf_counter() - t0
         if headline is None or dt < headline:
             headline = dt
