@@ -445,6 +445,70 @@ def verify_pairs_exact(pairs: rd.Dataset, docs: rd.Dataset, *, n: int = 3,
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.9,
+                            n_planes: int = 12, n_tables: int = 8, seed: int = 99,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> rd.Dataset:
+    """Hyperplane-LSH near-dup pairs — the 100 TB path for embedding dedup.
+
+    Per batch: sign-pattern codes under ``n_tables`` independent sets of
+    ``n_planes`` random hyperplanes (seeded → identical across the cluster);
+    explode to (table, code, vec_id, vector) rows; candidates = bucket
+    cohabitants (coarse-partition reduce, core/groupops.py); verify exact cosine
+    inside the bucket. Recall follows P(same code) = (1 - θ/π)^n_planes per
+    table; n_tables tables union. The shuffle carries d-dim vectors per bucket
+    row, never the full N×N comparison."""
+    from ..core.groupops import grouped_reduce
+
+    rng = np.random.RandomState(seed)
+    dim_probe = ds.limit(1).take_all()
+    if not dim_probe:
+        return rd.from_items([])
+    dim = len(dim_probe[0][vec_col])
+    planes = rng.randn(n_tables, n_planes, dim)
+    ref = ray.put(planes)
+
+    def code_batch(b: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        ids = np.array(b[id_col].to_pylist())
+        mat = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_t, out_c, out_i, out_v = [], [], [], []
+        for t in range(n_tables):
+            bits = (mat_n @ pl[t].T) > 0  # (n, n_planes)
+            codes = (bits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+            out_t.extend([t] * len(ids))
+            out_c.extend(codes.tolist())
+            out_i.extend(ids.tolist())
+            out_v.extend(mat_n.astype(np.float32).tolist())
+        return pa.table({
+            "table": pa.array(out_t, pa.int32()),
+            "code": pa.array(out_c, pa.int64()),
+            "vec_id": pa.array(out_i, pa.int64()),
+            "vec": pa.array(out_v, pa.list_(pa.float32())),
+        })
+
+    coded = ds.map_batches(code_batch, batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["table", "code", "vec_id"])
+        multi = g[g.duplicated(["table", "code"], keep=False)]
+        a_out, b_out, c_out = [], [], []
+        for _, grp in multi.groupby(["table", "code"], sort=False):
+            grp = grp.sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["vec"]])
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a_out.extend(ids[ii].tolist())
+            b_out.extend(ids[jj].tolist())
+            c_out.extend(np.round(sims[ii, jj], 6).tolist())
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": c_out})
+
+    pairs = grouped_reduce(coded, ["table", "code"], bucket_verify)
+    return grouped_reduce(pairs, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
+
+
 def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.98,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> rd.Dataset:

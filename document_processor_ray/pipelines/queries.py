@@ -160,6 +160,13 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
 """
 
 
+def q_embedding_dup_lsh(sf_dir):
+    """Hyperplane-LSH approximate variant of embedding_dup_pairs (scale path)."""
+    pairs = dd.embedding_dup_pairs_lsh(_t(sf_dir, "embeddings"), threshold=0.4,
+                                       n_planes=10, n_tables=12)
+    return pairs.select_columns(["a", "b"])
+
+
 def q_langid(sf_dir):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.LangId, batch_format="pyarrow", concurrency=(1, 4)
@@ -552,6 +559,7 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
+    "embedding_dup_lsh": (q_embedding_dup_lsh, None),
     "langid": (q_langid, None),
     "quality": (q_quality, None),
     "fingerprint": (q_fingerprint, None),

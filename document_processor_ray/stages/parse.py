@@ -26,7 +26,6 @@ loop only assembles per-document span lists and decodes media payloads.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import numpy as np
 import pyarrow as pa
@@ -92,11 +91,6 @@ class MediaStore:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
-
-
-def _np_bool(arr: pa.Array) -> np.ndarray:
-    out = arr.to_numpy(zero_copy_only=False)
-    return np.where(np.equal(out, None), False, out).astype(bool)
 
 
 class ParseStage:
@@ -167,10 +161,9 @@ class ParseStage:
                     cleaned[j] = v
 
         kinds = values.field("kind").to_pylist()
-        raw_texts = texts.to_pylist()
         media_refs = values.field("media_ref").to_pylist()
         in_offsets = values.field("offset").to_pylist()
-        return (offs, kinds, raw_texts, cleaned, media_refs, in_offsets,
+        return (offs, kinds, cleaned, media_refs, in_offsets,
                 t_words, na_words, doc_class)
 
     # ------------------------------------------------------------------
@@ -247,7 +240,7 @@ class ParseStage:
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=(
                 CHUNK_SCHEMA if self.mode == "chunks" else FINAL_SCHEMA))
-        (offs, kinds, raw_texts, cleaned, media_refs, in_offsets,
+        (offs, kinds, cleaned, media_refs, in_offsets,
          t_words, na_words, doc_class) = self._precompute(batch)
         doc_ids = batch["doc_id"].to_pylist()
         rows = []

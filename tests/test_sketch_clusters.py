@@ -78,6 +78,30 @@ def test_dedup_clusters_string_ids():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_recall_vs_bruteforce():
+    from document_processor_ray.functions.dedup import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh)
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 32)
+    vecs = [v for v in base]
+    # 20 near-duplicates: tiny perturbations of the first 20
+    for i in range(20):
+        vecs.append(base[i] + rng.randn(32) * 0.02)
+    ds1 = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                         for i, v in enumerate(vecs)])
+    ds2 = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                         for i, v in enumerate(vecs)])
+    exact = {(r["a"], r["b"]) for r in
+             embedding_dup_pairs(ds1, threshold=0.95).take_all()}
+    approx = {(r["a"], r["b"]) for r in
+              embedding_dup_pairs_lsh(ds2, threshold=0.95).take_all()}
+    assert approx <= exact  # LSH never invents pairs (exact verify inside bucket)
+    assert len(exact) >= 20
+    assert len(approx & exact) / len(exact) >= 0.9  # recall
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_resolve_keeps_representatives():
     docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(12)])
     pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 5}, {"a": 7, "b": 8}])
