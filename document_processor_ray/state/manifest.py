@@ -4,7 +4,7 @@ Output layout::
 
     out_dir/
       waves/wave-00000/docs/*.parquet     # one wave = one group of input fragments
-      media/<h2>/<hash16>.bin             # content-addressed, idempotent across waves
+      waves/wave-00000/media/*.parquet    # columnar media table (content-hash refs)
       manifest/wave-00000.json            # written atomically AFTER the wave commits
 
 A *wave* is the unit of resume: a deterministic group of input parquet fragments.
@@ -30,7 +30,7 @@ import time
 
 import pyarrow.parquet as pq
 
-from ..pipelines.extract import ExtractConfig, build_extraction
+from ..pipelines.extract import ExtractConfig
 
 
 def _wave_groups(in_dir: str, n_waves: int) -> list[list[str]]:
@@ -88,6 +88,30 @@ def _wave_metrics(docs_dir: str, compute_hash: bool) -> dict:
     }
 
 
+def _stage_summary(stats: str) -> list[dict]:
+    """Compact per-stage metrics for the manifest (north-rule: per-partition
+    lineage + per-stage metrics): operator name, wall span, task wall total,
+    rows out — parsed from Ray Data's stats report."""
+    import re
+
+    out = []
+    for block in stats.split("Operator ")[1:]:
+        head = block.split("\n", 1)[0]
+        m = re.match(r"\d+ (.+?): .*?in ([\d.]+)s", head)
+        wall = re.search(r"Remote wall time: .*?([\d.]+)(us|ms|s) total", block)
+        rows = re.search(r"Output num rows per block: .*?(\d+) total", block)
+        if not m:
+            continue
+        rec = {"stage": m.group(1)[:80], "span_s": float(m.group(2))}
+        if wall:
+            unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}[wall.group(2)]
+            rec["task_wall_s"] = round(float(wall.group(1)) * unit, 3)
+        if rows:
+            rec["rows_out"] = int(rows.group(1))
+        out.append(rec)
+    return out
+
+
 def run_resumable(
     in_dir: str,
     out_dir: str,
@@ -106,7 +130,9 @@ def run_resumable(
     os.makedirs(man_dir, exist_ok=True)
     os.makedirs(waves_dir, exist_ok=True)
 
-    from ..pipelines.extract import build_media_table
+    import threading
+
+    from ..pipelines.extract import _branches, build_media_table
 
     ran = skipped = 0
     totals = {"rows": 0, "spans": 0, "ocr_fast": 0, "ocr_full": 0, "errors": 0}
@@ -126,12 +152,34 @@ def run_resumable(
         if os.path.exists(wave_dir):
             shutil.rmtree(wave_dir)
         t0 = time.perf_counter()
-        ds = build_extraction(group, cfg)
+        # same threaded three-plan execution as run_extraction (a unioned plan
+        # halves actor-pool utilization)
+        small_out, big_out = _branches(group, cfg)
+        media_out = build_media_table(group, cfg)
         os.makedirs(docs_dir, exist_ok=True)
-        ds.write_parquet(docs_dir)
-        build_media_table(group, cfg).write_parquet(os.path.join(wave_dir, "media"))
+        errs: list[BaseException] = []
+
+        def _w(fn):
+            try:
+                fn()
+            except BaseException as exc:
+                errs.append(exc)
+
+        threads = [threading.Thread(target=_w, args=(
+            lambda: media_out.write_parquet(os.path.join(wave_dir, "media")),))]
+        if big_out is not None:
+            threads.append(threading.Thread(target=_w, args=(
+                lambda: big_out.write_parquet(docs_dir),)))
+        for th in threads:
+            th.start()
+        _w(lambda: small_out.write_parquet(docs_dir))
+        for th in threads:
+            th.join()
+        if errs:
+            raise errs[0]
         wall = time.perf_counter() - t0
         metrics = _wave_metrics(docs_dir, compute_hash)
+        metrics["stages"] = _stage_summary(small_out.stats())
         wall_metrics = {**metrics, "wall_s": round(wall, 3)}
         _atomic_write_json(
             man_path,
