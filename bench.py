@@ -42,8 +42,9 @@ SEED = 42
 
 BENCH_QUERIES = [
     "doc_stats", "glyph_clean", "exact_dedup", "minhash_pairs", "simhash_pairs",
-    "knn_cosine", "knn_ivf", "events_tumbling", "sessions", "lineitem_agg",
-    "orders_by_segment",
+    "near_dedup_resolve", "embedding_dup_pairs", "embedding_dup_lsh",
+    "knn_cosine", "knn_ivf", "events_tumbling", "events_sliding", "sessions",
+    "distinct_users", "lineitem_agg", "orders_by_segment", "nation_region_counts",
 ]
 
 
