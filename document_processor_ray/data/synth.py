@@ -179,12 +179,22 @@ def gen_doc(
                               "media_ref": "", "offset": len(spans)})
             elif doc_class == "html" or (doc_class == "mixed" and rng.random() < 0.5):
                 if rng.random() < boilerplate_rate:
-                    if rng.random() < 0.7:
+                    r = rng.random()
+                    if r < 0.6:
                         spans.append({"kind": "boilerplate", "text": _boilerplate(rng),
                                       "media_ref": "", "offset": len(spans)})
-                    else:
+                    elif r < 0.85:
                         # link-farm mislabeled as a text kind: detection must catch it
                         spans.append({"kind": "paragraph", "text": _boilerplate(rng),
+                                      "media_ref": "", "offset": len(spans)})
+                    else:
+                        # markup-junk separator block: only the text-density rule
+                        # catches it (low visible text, heavy tags, no anchors)
+                        junk = (f'<div class="sep{rng.randint(0, 99)}" '
+                                f'style="margin:{rng.randint(0, 40)}px">'
+                                "<span></span><hr/>" + rng.choice(["•", "›", "|", "·"])
+                                + "</div>")
+                        spans.append({"kind": "text", "text": junk,
                                       "media_ref": "", "offset": len(spans)})
                 else:
                     spans.append({"kind": rng.choice(_KINDS),

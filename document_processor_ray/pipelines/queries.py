@@ -503,7 +503,8 @@ def q_html_strip_stats(sf_dir):
                 vis = tc.visible_text(s["text"])
                 t = tc.word_count(vis)
                 na = tc.word_count(tc.visible_text(tc.strip_anchors(s["text"])))
-                if t == 0 or 2 * (t - na) >= t:
+                if (t == 0 or 2 * (t - na) >= t
+                        or (t <= 2 and 5 * len(tc.clean_text(vis)) < len(s["text"]))):
                     d += 1
                 else:
                     k += 1

@@ -29,6 +29,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..core import codec
 from ..core.schema import MEDIA_KINDS, METRICS_TYPE, SPAN_TYPE
@@ -163,8 +164,9 @@ class ParseStage:
         kinds = values.field("kind").to_pylist()
         media_refs = values.field("media_ref").to_pylist()
         in_offsets = values.field("offset").to_pylist()
+        raw_lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
         return (offs, kinds, cleaned, media_refs, in_offsets,
-                t_words, na_words, doc_class)
+                t_words, na_words, raw_lens, doc_class)
 
     # ------------------------------------------------------------------
     def _payload_map(self, batch: pa.Table, row: int) -> dict[str, bytes]:
@@ -180,6 +182,7 @@ class ParseStage:
         media_refs,
         t_words,
         na_words,
+        raw_lens,
         payloads: dict[str, bytes],
         do_ocr_spans: bool,
     ):
@@ -226,8 +229,13 @@ class ParseStage:
             # text-like kinds (incl. unknown) + boilerplate
             if kind == "boilerplate":
                 continue
-            if is_html and (t_words[j] == 0 or 2 * (t_words[j] - na_words[j]) >= t_words[j]):
-                continue
+            if is_html:
+                t = t_words[j]
+                if t == 0 or 2 * (t - na_words[j]) >= t:
+                    continue
+                # text-density rule: tag-heavy tiny-text blocks (SPEC §4)
+                if t <= 2 and 5 * len(cleaned[j] or "") < raw_lens[j]:
+                    continue
             text_out = cleaned[j] or ""
             if text_out == "":
                 continue
@@ -241,7 +249,7 @@ class ParseStage:
             return pa.Table.from_pylist([], schema=(
                 CHUNK_SCHEMA if self.mode == "chunks" else FINAL_SCHEMA))
         (offs, kinds, cleaned, media_refs, in_offsets,
-         t_words, na_words, doc_class) = self._precompute(batch)
+         t_words, na_words, raw_lens, doc_class) = self._precompute(batch)
         doc_ids = batch["doc_id"].to_pylist()
         rows = []
         for i, did in enumerate(doc_ids):
@@ -256,7 +264,7 @@ class ParseStage:
                 )
                 if self.mode == "chunks":
                     tagged, has_text, n_err = self._extract_doc_spans(
-                        cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                        cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
                         payloads, do_ocr_spans=True)
                     rows.append({
                         "doc_id": did,
@@ -278,13 +286,13 @@ class ParseStage:
                     continue
                 # fast pass first to decide (reference content_extractor.py:85-108)
                 tagged, has_text, n_err = self._extract_doc_spans(
-                    cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                    cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
                     payloads, do_ocr_spans=False)
                 if has_text:
                     ocr_path = "fast"
                 else:
                     tagged, _, n_err = self._extract_doc_spans(
-                        cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                        cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
                         payloads, do_ocr_spans=True)
                     ocr_path = "full"
                 rows.append(_final_row(

@@ -134,6 +134,9 @@ def extract_doc(row: dict) -> dict:
             na = nwords(visible(ANCHOR.sub(" ", raw)))
             if t == 0 or 2 * (t - na) >= t:
                 continue
+            # text-density rule: tag-heavy tiny-text blocks (SPEC §4)
+            if t <= 2 and 5 * len(clean(visible(raw))) < len(raw):
+                continue
         txt = clean(visible(raw)) if is_html else clean(raw)
         if txt == "":
             continue
