@@ -52,7 +52,7 @@ def prepare_corpus() -> tuple[str, int]:
     """Deterministic cached interleaved corpus derived from the flat docs table."""
     import pyarrow.parquet as pq
 
-    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}-r{REPEAT}-s{SEED}-g512"
+    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}-r{REPEAT}-s{SEED}-g512v2"
     out_dir = f"/tmp/graft_bench/corpus-{tag}"
     done = os.path.join(out_dir, "_DONE")
     flat_rows = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
