@@ -432,6 +432,67 @@ GROUP BY n_name
 """
 
 
+def q_events_before_order(sf_dir):
+    """Range join: for each order, how many events happened up to its order
+    date. Small side (orders) streams; the sorted event-timestamp array is
+    broadcast once and probed with vectorized searchsorted — the as-of/range
+    join pattern without a shuffle (ray_guide 'Joins and lookups')."""
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    ts_sorted = np.sort(pc.cast(ev["ts"], pa.timestamp("us")).to_numpy(
+        zero_copy_only=False).astype("datetime64[us]").astype(np.int64))
+    ref = ray.put(ts_sorted)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ts = ray.get(ref)
+        od = pc.cast(b["o_orderdate"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = np.searchsorted(ts, od, side="right")
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "n_events_before": pa.array(n, pa.int64())})
+
+    return _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        probe, batch_format="pyarrow")
+
+
+SQL_EVENTS_BEFORE_ORDER = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM events e WHERE e.ts <= o.o_orderdate) AS n_events_before
+FROM orders o
+"""
+
+
+def q_median_price_by_segment(sf_dir):
+    """Grouped median via per-group pandas (exact order statistic; the (a+b)/2
+    interpolation for even counts is bit-identical in pandas and DuckDB)."""
+    import pandas as pd
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def join(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        seg = [lk.get(k) for k in b["o_custkey"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(seg, pa.string()),
+                         "o_totalprice": b["o_totalprice"]})
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                             "median_price": [float(g["o_totalprice"].median())]})
+
+    return (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("c_mktsegment").map_groups(med, batch_format="pandas"))
+
+
+SQL_MEDIAN_PRICE_BY_SEGMENT = """
+SELECT c_mktsegment, median(o_totalprice) AS median_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Flagship extraction (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -580,6 +641,8 @@ QUERIES = {
     "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
+    "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
+    "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
 }
