@@ -252,6 +252,23 @@ class ParseStage:
          t_words, na_words, raw_lens, doc_class) = self._precompute(batch)
         doc_ids = batch["doc_id"].to_pylist()
         rows = []
+        # whole-mode accumulators: build Arrow arrays directly instead of
+        # rows-of-dicts + from_pylist (≈20% of effort-0 parse cost)
+        acc_ids: list[str] = []
+        acc_counts: list[int] = []
+        fk: list[str] = []; ft: list[str] = []; fm: list[str] = []
+        mc: list[str] = []; mo: list[str] = []
+        mi: list[int] = []; mn: list[int] = []; me: list[int] = []
+        ms: list[str] = []
+
+        def push_final(did_, spans_, cls_, ocr_, n_in_, n_err_, error_):
+            acc_ids.append(did_)
+            acc_counts.append(len(spans_))
+            for k_, t_, m_ in spans_:
+                fk.append(k_); ft.append(t_); fm.append(m_)
+            mc.append(cls_); mo.append(ocr_); mi.append(n_in_)
+            mn.append(len(spans_)); me.append(n_err_); ms.append(error_)
+
         for i, did in enumerate(doc_ids):
             lo, hi = int(offs[i]), int(offs[i + 1])
             order = sorted(range(lo, hi), key=lambda j: (in_offsets[j], j))
@@ -282,7 +299,7 @@ class ParseStage:
                     continue
                 # whole-doc mode: resolve the cascade locally
                 if hi == lo:
-                    rows.append(_final_row(did, [], cls, "none", 0, 0, "empty_document"))
+                    push_final(did, [], cls, "none", 0, 0, "empty_document")
                     continue
                 # fast pass first to decide (reference content_extractor.py:85-108)
                 tagged, has_text, n_err = self._extract_doc_spans(
@@ -295,11 +312,8 @@ class ParseStage:
                         cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
                         payloads, do_ocr_spans=True)
                     ocr_path = "full"
-                rows.append(_final_row(
-                    did,
-                    [{"kind": k, "text": t, "media_ref": m, "offset": x}
-                     for x, (k, t, m, _) in enumerate(tagged)],
-                    cls, ocr_path, hi - lo, n_err, ""))
+                push_final(did, [(k, t, m) for k, t, m, _ in tagged],
+                           cls, ocr_path, hi - lo, n_err, "")
             except Exception as exc:  # F5: never fail the job for one row
                 if self.mode == "chunks":
                     rows.append({
@@ -308,9 +322,27 @@ class ParseStage:
                         "chunk_has_text": False, "n_in": hi - lo, "n_err": 1,
                         "spans": []})
                 else:
-                    rows.append(_final_row(did, [], cls, "none", hi - lo, 1, repr(exc)))
-        schema = CHUNK_SCHEMA if self.mode == "chunks" else FINAL_SCHEMA
-        return pa.Table.from_pylist(rows, schema=schema)
+                    push_final(did, [], cls, "none", hi - lo, 1, repr(exc))
+        if self.mode == "chunks":
+            return pa.Table.from_pylist(rows, schema=CHUNK_SCHEMA)
+        flat_off: list[int] = []
+        for c in acc_counts:
+            flat_off.extend(range(c))
+        span_struct = pa.StructArray.from_arrays(
+            [pa.array(fk, pa.string()), pa.array(ft, pa.string()),
+             pa.array(fm, pa.string()), pa.array(flat_off, pa.int32())],
+            fields=list(SPAN_TYPE))
+        list_offs = pa.array(
+            np.concatenate([[0], np.cumsum(acc_counts)]).astype(np.int32))
+        spans_col = pa.ListArray.from_arrays(list_offs, span_struct)
+        metrics_col = pa.StructArray.from_arrays(
+            [pa.array(mc, pa.string()), pa.array(mo, pa.string()),
+             pa.array(mi, pa.int32()), pa.array(mn, pa.int32()),
+             pa.array(me, pa.int32()), pa.array(ms, pa.string())],
+            fields=list(METRICS_TYPE))
+        return pa.Table.from_arrays(
+            [pa.array(acc_ids, pa.string()), spans_col, metrics_col],
+            schema=FINAL_SCHEMA)
 
 
 def _final_row(doc_id, spans, doc_class, ocr_path, n_in, n_err, error):
