@@ -416,13 +416,140 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int = 3,
+                                threshold: float = 0.6, id_col: str = "doc_id",
+                                text_col: str = "text") -> rd.Dataset:
+    """Scale path for exact n-gram Jaccard verification: no broadcast, no full
+    texts on the wire. Docs are reduced once to n-gram *hash sets* (u64 blake2b
+    mix, ~8 B/token); pairs pick up each side's gram set through two
+    co-partitioned hash joins (tagged-union + grouped_reduce — ray 2.49's
+    Dataset.join chokes on empty partitions), then Jaccard is computed from the
+    two u64 sets. Output: (a, b, jaccard) with jaccard ≥ threshold."""
+    from ..core.groupops import grouped_reduce
+
+    signer = MinHashSigner(shingle=n)  # reuse its cached token→u64 shingle mixing
+
+    def gramset(b: pa.Table) -> pa.Table:
+        blobs = []
+        for t in b[text_col].to_pylist():
+            toks = (t or "").split()
+            if len(toks) < n:
+                th = signer._tok_hashes(toks) if toks else np.zeros(0, np.uint64)
+                h = th[:1].copy() if len(th) else np.zeros(1, np.uint64)
+                for x in th[1:]:
+                    h = h * signer._C1 + x
+            else:
+                th = signer._tok_hashes(toks)
+                h = th[: len(th) - n + 1] * signer._C1
+                for j in range(1, n):
+                    h = h + th[j : len(th) - n + 1 + j] * (
+                        signer._C2 if j == 1 else signer._C3)
+                h = np.unique(h)
+            blobs.append(h.tobytes())
+        return pa.table({"gid": b[id_col], "grams": pa.array(blobs, pa.binary())})
+
+    grams = docs.map_batches(gramset, batch_format="pyarrow").materialize()
+
+    # ids travel as sortable strings end-to-end: pandas merges against
+    # tagged-null columns coerce ints to float64 and silently split partition
+    # keys (3 vs 3.0) — same failure mode as dedup_clusters
+    sch0 = pairs.schema()
+    a_t = dict(zip(sch0.names, sch0.types))["a"]
+    int_ids = (pa.types.is_integer(a_t) if isinstance(a_t, pa.DataType)
+               else np.issubdtype(np.dtype(a_t), np.integer))
+
+    def enc_tbl(b: pa.Table) -> pa.Table:
+        if not int_ids:
+            return b.select(["a", "b"])
+        return pa.table({
+            "a": pa.array([f"{v:020d}" for v in b["a"].to_pylist()]),
+            "b": pa.array([f"{v:020d}" for v in b["b"].to_pylist()]),
+        })
+
+    def enc_grams(b: pa.Table) -> pa.Table:
+        if not int_ids:
+            return b
+        return pa.table({"gid": pa.array([f"{v:020d}" for v in b["gid"].to_pylist()]),
+                         "grams": b["grams"]})
+
+    grams = grams.map_batches(enc_grams, batch_format="pyarrow")
+
+    def attach(side: str, pairs_ds: rd.Dataset) -> rd.Dataset:
+        """Co-partition pairs (keyed by `side`) with gram sets; append grams_<side>."""
+        # normalize to arrow blocks so schema() reports true arrow types
+        # (pandas-block object dtype is untranslatable for binary columns)
+        pairs_ds = pairs_ds.map_batches(lambda t: t, batch_format="pyarrow")
+        sch = pairs_ds.schema()
+        prev = list(sch.names)
+        prev_types = {}
+        for name, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):
+                prev_types[name] = t
+            else:
+                try:
+                    prev_types[name] = pa.from_numpy_dtype(np.dtype(t))
+                except Exception:
+                    prev_types[name] = pa.binary() if name.startswith("grams") else pa.string()
+
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in prev}
+            cols["jkey"] = b[side]
+            cols["grams"] = pa.array([b""] * len(b), pa.binary())
+            cols["srcx"] = pa.array(["p"] * len(b))
+            return pa.table(cols)
+
+        def tag_grams(b: pa.Table) -> pa.Table:
+            cols = {c: _null_like(b.num_rows, c) for c in prev}
+            cols["jkey"] = b["gid"]
+            cols["grams"] = b["grams"]
+            cols["srcx"] = pa.array(["g"] * len(b))
+            return pa.table(cols)
+
+        def _null_like(nrows, colname):
+            return pa.nulls(nrows, prev_types[colname])
+
+        def part_join(g: pd.DataFrame) -> pd.DataFrame:
+            gr = g[g.srcx == "g"][["jkey", "grams"]].rename(
+                columns={"grams": f"grams_{side}"})
+            pr = g[g.srcx == "p"].drop(columns=["grams", "srcx"])
+            return pr.merge(gr, on="jkey").drop(columns=["jkey"])
+
+        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            grams.map_batches(tag_grams, batch_format="pyarrow"))
+        return grouped_reduce(tagged, ["jkey"], part_join)
+
+    with_a = attach("a", pairs.map_batches(enc_tbl, batch_format="pyarrow"))
+    with_ab = attach("b", with_a)
+
+    def score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        js = []
+        for ga, gb in zip(b["grams_a"].to_pylist(), b["grams_b"].to_pylist()):
+            sa = set(np.frombuffer(ga, dtype=np.uint64).tolist())
+            sb = set(np.frombuffer(gb, dtype=np.uint64).tolist())
+            if not sa and not sb:
+                js.append(1.0)
+                continue
+            js.append(round(len(sa & sb) / max(1, len(sa | sb)), 6))
+        if int_ids:
+            a_col = pa.array([int(v) for v in b["a"].to_pylist()], pa.int64())
+            b_col = pa.array([int(v) for v in b["b"].to_pylist()], pa.int64())
+        else:
+            a_col, b_col = b["a"], b["b"]
+        out = pa.table({"a": a_col, "b": b_col,
+                        "jaccard": pa.array(js, pa.float64())})
+        return out.filter(pc2.greater_equal(out["jaccard"], threshold))
+
+    return with_ab.map_batches(score, batch_format="pyarrow")
+
+
 def verify_pairs_exact(pairs: rd.Dataset, docs: rd.Dataset, *, n: int = 3,
                        threshold: float = 0.6, id_col: str = "doc_id",
                        text_col: str = "text") -> rd.Dataset:
     """Exact n-gram Jaccard over candidate pairs. The doc texts are broadcast via
-    ``ray.put`` when the candidate id-set is small (semi-join pattern); the scale
-    path for huge candidate sets is a bucketed hash join on doc_id (ray_guide
-    'Joins and lookups')."""
+    ``ray.put`` when the candidate id-set is small (semi-join pattern); use
+    ``verify_pairs_exact_bucketed`` when the candidate set itself is large."""
     need = set()
     for row in pairs.select_columns(["a", "b"]).take_all():
         need.add(row["a"]); need.add(row["b"])

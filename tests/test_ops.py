@@ -99,6 +99,21 @@ def test_verify_pairs_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_bucketed_matches_broadcast():
+    """The no-broadcast scale path (gram-set co-partitioned joins) returns the
+    same verified pair set as the broadcast path."""
+    docs = _near_dup_docs()
+    pairs1 = dd.minhash_lsh_pairs(rd.from_items(docs), threshold=0.5)
+    pairs2 = dd.minhash_lsh_pairs(rd.from_items(docs), threshold=0.5)
+    broad = dd.verify_pairs_exact(pairs1, rd.from_items(docs), threshold=0.6).to_pandas()
+    buck = dd.verify_pairs_exact_bucketed(pairs2, rd.from_items(docs),
+                                          threshold=0.6).to_pandas()
+    assert {(a, b) for a, b in zip(broad.a, broad.b)} == \
+        {(a, b) for a, b in zip(buck.a, buck.b)}
+    assert len(buck) > 0 and (buck.jaccard >= 0.6).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_matches_numpy_bruteforce():
     rng = np.random.RandomState(3)
     mat = rng.randn(200, 16).astype(np.float32)
