@@ -114,8 +114,9 @@ def run_bench() -> dict:
         ExtractConfig, _branches, build_media_table)
 
     cfg = ExtractConfig(engine_effort=EFFORT)
-    # best-of-2: the second run reuses warm Ray worker processes, removing
-    # actor-spawn ramp jitter from the measurement
+    # best-of-2 with a FRESH Ray session per attempt: executions within one
+    # session drift +10-15% slower (object-store state accumulation), so each
+    # attempt measures from a clean session and we keep the faster one
     import threading
 
     headline, parse_ms_per_doc = None, None

@@ -267,7 +267,7 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 3, text_col: str = "text
 # ---------------------------------------------------------------------------
 
 
-def dedup_clusters(pairs: rd.Dataset, n_iters: int = 5,
+def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
                    driver_threshold: int = 1_000_000) -> rd.Dataset:
     """(a, b) duplicate pairs → (node, cluster) where cluster = min node id of
     the connected component.
@@ -276,9 +276,13 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 5,
     provably small): below ``driver_threshold`` pairs, an exact driver-side
     union-find (duplicate pairs are a tiny fraction of any corpus); above it,
     distributed min-label propagation — each round every node takes the min
-    label over itself and its neighbors (one coarse-partition shuffle per round;
-    converges in graph-diameter rounds — near-dup clusters are shallow).
-    Both paths are deterministic and produce identical clusters."""
+    label over itself and its neighbors (one coarse-partition shuffle per
+    round). Propagation iterates to a FIXPOINT (stop when no label changes
+    between rounds, detected by an order-insensitive distributed label
+    signature — labels are monotone non-increasing, so an unchanged signature
+    means converged); ``n_iters`` is only a runaway cap, and exceeding it
+    raises rather than silently under-deduplicating long chains. Both paths
+    are deterministic and produce identical clusters."""
     from ..core.groupops import grouped_reduce
 
     if pairs.count() <= driver_threshold:
@@ -335,7 +339,23 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 5,
     def min_label(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False)["label"].min()
 
+    def _label_sig(lab: rd.Dataset) -> int:
+        """Order-insensitive signature of the (node, label) multiset: sum of
+        per-row 64-bit hashes, computed distributed (one tiny aggregate — no
+        driver materialization of the label table)."""
+
+        def row_hashes(b: pa.Table) -> pa.Table:
+            hs = [int.from_bytes(
+                      hashlib.blake2b(f"{n}\x1f{l}".encode(), digest_size=8).digest(),
+                      "little") >> 1
+                  for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist())]
+            return pa.table({"h": pa.array(hs, pa.int64())})
+
+        return lab.map_batches(row_hashes, batch_format="pyarrow").sum("h") or 0
+
     labels = grouped_reduce(labels, ["node"], min_label).materialize()
+    sig = _label_sig(labels)
+    converged = False
     for _ in range(n_iters):
         # neighbor labels via an explicit partitioned hash join (ray_guide
         # 'Joins and lookups'): tag both sides, co-partition on the join key,
@@ -365,6 +385,17 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 5,
                                     ["jkey"], part_join)
         labels = grouped_reduce(labels.union(nbr_labels), ["node"], min_label)
         labels = labels.materialize()  # small: one row per node in any dup pair
+        new_sig = _label_sig(labels)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge within "
+            f"{n_iters} rounds (component diameter > cap); raising instead of "
+            f"returning silently under-merged clusters")
+
     def decode(b: pa.Table) -> pa.Table:
         if int_ids:
             return pa.table({

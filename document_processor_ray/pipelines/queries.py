@@ -28,6 +28,9 @@ from ..functions import textstats as ts
 from ..functions.text_clean import GLYPH_PAT, WS_RUN_PAT, clean_text_arr
 from ..stages import window as win
 
+# ASCII-only trim set for the SQL mirrors; the Ray/oracle clean() trims Unicode
+# whitespace — equivalent on these corpora (SPEC §2: generators never emit
+# non-ASCII whitespace at string edges).
 _TRIM_WS_SQL = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 

@@ -72,6 +72,11 @@ class MediaStore:
     tmp+rename writes, idempotent across retries/resume (I3/I4 analog — media by
     pointer, not inline base64)."""
 
+    _SEEN_CAP = 262_144  # bound the per-actor dedupe cache: long-lived parse
+    # actors would otherwise grow one entry per distinct ref forever; the cache
+    # is a pure optimization (os.path.exists re-checks below), so clearing it
+    # only costs a few repeated stat() calls
+
     def __init__(self, root: str | None):
         self.root = root
         self._seen: set[str] = set()
@@ -81,6 +86,8 @@ class MediaStore:
     def put(self, ref: str, data: bytes) -> None:
         if not self.root or ref in self._seen:
             return
+        if len(self._seen) >= self._SEEN_CAP:
+            self._seen.clear()
         self._seen.add(ref)
         h = ref.removeprefix("media://")
         d = os.path.join(self.root, h[:2])

@@ -8,8 +8,8 @@ shaped workloads"); windows are expressed as groupbys over window keys:
   via date_trunc/epoch arithmetic.
 - sliding: one input row contributes to size/step windows → flat-map style
   explode inside map_batches, then groupby.
-- session: per-key sorted gap-split inside ``groupby(key).map_groups`` (ordering
-  assumption: one group = all events of the key, sorted here, not globally).
+- session: coarse-partitioned gap-split (``core.groupops.grouped_reduce``) —
+  every key's events land in exactly one partition, sorted there, not globally.
 """
 
 from __future__ import annotations
@@ -48,9 +48,11 @@ def tumbling_counts(events: rd.Dataset, size_s: int = 3600,
 
 def sliding_counts(events: rd.Dataset, size_s: int, step_s: int,
                    key: str = "event_type") -> rd.Dataset:
-    """Sliding windows: each event explodes into the size/step windows containing
-    it; then one groupby. Output: (key, window_start, n_events)."""
-    n_win = size_s // step_s
+    """Sliding windows: each event explodes into the ceil(size/step) candidate
+    windows containing it; then one groupby. Output: (key, window_start,
+    n_events). The containment guard below discards the extra candidate when
+    size is not a multiple of step."""
+    n_win = -(-size_s // step_s)  # ceil: an event belongs to up to this many windows
 
     def explode(batch: pa.Table) -> pa.Table:
         epoch_s = (
@@ -75,17 +77,31 @@ def sliding_counts(events: rd.Dataset, size_s: int, step_s: int,
 def session_counts(events: rd.Dataset, gap_s: int = 1800,
                    key: str = "user_id") -> rd.Dataset:
     """Per-key session count: sessions split where the sorted inter-event gap
-    exceeds ``gap_s``. Output: (user_id, n_sessions, n_events)."""
+    exceeds ``gap_s``. Output: (user_id, n_sessions, n_events).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].values.astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > gap_s * 1_000_000
-        return pd.DataFrame({
-            key: [g[key].iloc[0]],
-            "n_sessions": [int(gaps.sum()) + 1],
-            "n_events": [len(ts)],
-        })
+    Scale path: user_id is high-cardinality, so this routes through
+    ``core.groupops.grouped_reduce`` (coarse hash partitions, ONE shuffle, a
+    vectorized sort+diff over all keys of a partition) rather than
+    ``groupby(user_id).map_groups`` which pays per-group scheduling for
+    millions of tiny groups."""
+    from ..core.groupops import grouped_reduce
 
-    return events.select_columns([key, "ts"]).groupby(key).map_groups(
-        sessions, batch_format="pandas"
-    )
+    def part_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: [], "n_sessions": [], "n_events": []})
+        g = g.sort_values([key, "ts"], kind="mergesort")
+        ts = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        new_key = (g[key] != g[key].shift()).to_numpy()
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        starts = new_key | gap  # first row of each key always starts a session
+        out = (pd.DataFrame({key: g[key].values, "_s": starts})
+               .groupby(key, sort=False)
+               .agg(n_sessions=("_s", "sum"), n_events=("_s", "size"))
+               .reset_index())
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return grouped_reduce(events.select_columns([key, "ts"]), [key], part_sessions)
