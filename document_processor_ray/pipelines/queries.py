@@ -388,18 +388,28 @@ GROUP BY l_returnflag
 """
 
 
+def _broadcast_cols(sf_dir, table, key, val):
+    """ray.put a (keys, values) Arrow pair for a small dimension table — read
+    once, shipped once to the object store, probed zero-copy in every task."""
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=[key, val])
+    return ray.put((t[key].combine_chunks(), t[val].combine_chunks()))
+
+
+def _probe_cols(ref, col) -> pa.Array:
+    """Vectorized broadcast-join projection: pc.index_in + take (no Python
+    per-row dict lookups; missing keys surface as nulls)."""
+    keys, vals = ray.get(ref)
+    return pc.take(vals, pc.index_in(col, value_set=keys))
+
+
 def q_orders_by_segment(sf_dir):
     """Broadcast hash join (small dimension side via ray.put — no shuffle;
-    ray_guide 'Joins and lookups') then groupby."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(lookup)
+    ray_guide 'Joins and lookups') then groupby; the projection is a vectorized
+    index_in/take, not a per-row dict probe."""
+    ref = _broadcast_cols(sf_dir, "customer", "c_custkey", "c_mktsegment")
 
     def join(b: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        seg = [lk.get(k) for k in b["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(seg, pa.string()),
+        return pa.table({"c_mktsegment": _probe_cols(ref, b["o_custkey"]),
                          "o_totalprice": b["o_totalprice"]})
 
     return (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -419,13 +429,20 @@ GROUP BY c_mktsegment
 
 
 def q_nation_region_counts(sf_dir):
-    """Distributed hash join both-sides via Dataset.join (customer ⋈ nation),
-    then aggregate; demonstrates the shuffle-join path for two large sides."""
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
-    joined = cust.join(nat, join_type="inner", num_partitions=4,
-                       on=("c_nationkey",), right_on=("n_nationkey",))
-    return joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+    """Dimension join done right: nation has 25 rows, so it is a broadcast
+    lookup (ray.put once, vectorized index_in probe per batch), NOT a shuffle
+    join — an all-to-all exchange for a 25-row side is pure overhead at scale
+    (and ray 2.49's Dataset.join additionally chokes on empty hash
+    partitions). See q_customer_order_nations for the genuine two-big-sides
+    shuffle-join demo."""
+    ref = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def join(b: pa.Table) -> pa.Table:
+        return pa.table({"n_name": _probe_cols(ref, b["c_nationkey"])})
+
+    return (_t(sf_dir, "customer", ["c_nationkey"])
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Count(alias_name="n_customers")))
 
 
 SQL_NATION_REGION_COUNTS = """
@@ -435,26 +452,86 @@ GROUP BY n_name
 """
 
 
+def q_customer_order_nations(sf_dir):
+    """Distributed hash join with two genuinely large sides (orders ⋈ customer,
+    both scale with the corpus) via Dataset.join — the shuffle-join path. The
+    partition count scales with the cluster instead of being hardcoded; both
+    sides are dense in the key domain, so no hash partition is empty."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=max(2, ncpu // 2),
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return _cast_int64(
+        joined.groupby("c_nationkey").aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_totalprice", alias_name="max_price"),
+            Min("o_totalprice", alias_name="min_price")),
+        [],
+    )
+
+
+SQL_CUSTOMER_ORDER_NATIONS = """
+SELECT c_nationkey, count(*) AS n_orders,
+       max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_events_before_order(sf_dir):
-    """Range join: for each order, how many events happened up to its order
-    date. Small side (orders) streams; the sorted event-timestamp array is
-    broadcast once and probed with vectorized searchsorted — the as-of/range
-    join pattern without a shuffle (ray_guide 'Joins and lookups')."""
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-    ts_sorted = np.sort(pc.cast(ev["ts"], pa.timestamp("us")).to_numpy(
-        zero_copy_only=False).astype("datetime64[us]").astype(np.int64))
-    ref = ray.put(ts_sorted)
+    """Range join with NO driver materialization of the fact side: for each
+    order, count events with ts <= o_orderdate. Plumbing (exact):
+
+    1. distinct order dates (bounded cardinality: one per calendar day) form
+       the sorted cut-point array — the only thing broadcast;
+    2. events stream once through a map_batches histogram — each event maps via
+       searchsorted to its first cut >= ts, emitting per-batch (cut_idx, n)
+       partials (pre-aggregation inside the map, ray_guide 'Aggregation');
+    3. a tiny groupby(cut_idx) reduce + driver prefix-sum over <= #dates rows;
+    4. orders stream and probe the broadcast prefix table.
+
+    Only per-date partial counts cross the wire; the events column is never
+    collected (the previous version ray.put the whole fact column — a
+    driver-side big-side materialization that dies at 100x)."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    cuts = np.sort(np.array(
+        [np.datetime64(d, "us") for d in orders.unique("o_orderdate")],
+        dtype="datetime64[us]").astype(np.int64))
+    cuts_ref = ray.put(cuts)
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        ts = pc.cast(b["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(c, ts, side="left")  # first cut >= ts
+        idx = idx[idx < len(c)]  # events after the last order date count nowhere
+        counts = np.bincount(idx, minlength=len(c))
+        nz = np.flatnonzero(counts)
+        return pa.table({"cut_idx": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    partial = (_t(sf_dir, "events", ["ts"])
+               .map_batches(hist, batch_format="pyarrow")
+               .groupby("cut_idx").aggregate(Sum("n", alias_name="n")))
+    h = np.zeros(len(cuts), dtype=np.int64)
+    for r in partial.take_all():  # <= one row per distinct order date — tiny
+        h[int(r["cut_idx"])] = int(r["n"])
+    prefix_ref = ray.put(np.cumsum(h))
 
     def probe(b: pa.Table) -> pa.Table:
-        ts = ray.get(ref)
+        c, p = ray.get(cuts_ref), ray.get(prefix_ref)
         od = pc.cast(b["o_orderdate"], pa.timestamp("us")).to_numpy(
             zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        n = np.searchsorted(ts, od, side="right")
+        pos = np.searchsorted(c, od, side="left")  # an orderdate IS a cut: exact
         return pa.table({"o_orderkey": b["o_orderkey"],
-                         "n_events_before": pa.array(n, pa.int64())})
+                         "n_events_before": pa.array(p[pos], pa.int64())})
 
-    return _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
-        probe, batch_format="pyarrow")
+    return orders.map_batches(probe, batch_format="pyarrow")
 
 
 SQL_EVENTS_BEFORE_ORDER = """
@@ -469,15 +546,10 @@ def q_median_price_by_segment(sf_dir):
     interpolation for even counts is bit-identical in pandas and DuckDB)."""
     import pandas as pd
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(lookup)
+    ref = _broadcast_cols(sf_dir, "customer", "c_custkey", "c_mktsegment")
 
     def join(b: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        seg = [lk.get(k) for k in b["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(seg, pa.string()),
+        return pa.table({"c_mktsegment": _probe_cols(ref, b["o_custkey"]),
                          "o_totalprice": b["o_totalprice"]})
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
@@ -644,6 +716,7 @@ QUERIES = {
     "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
+    "customer_order_nations": (q_customer_order_nations, SQL_CUSTOMER_ORDER_NATIONS),
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "extract_flagship": (q_extract_flagship, None),
