@@ -11,8 +11,9 @@ Design for 100 TB (SURVEY §4.3, ray_guide "Aggregation at scale"):
   not documents.
 - SimHash: 64-bit signatures, banded by 4×16-bit chunks (pigeonhole: hamming ≤ 3
   ⇒ some band equal), verified by popcount.
-- embedding cosine: small side broadcast via ``ray.put`` (no shuffle); the
-  documented scale path is hyperplane-LSH bucketing when N² is infeasible.
+- embedding cosine: guarded hybrid — exact streaming block-pair matmul (object
+  store blocks, never the driver) below a row bound, hyperplane-LSH bucketing
+  above it where N² is infeasible.
 """
 
 from __future__ import annotations
@@ -667,31 +668,88 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.9,
     return grouped_reduce(pairs, ["a", "b"], lambda g: g.drop_duplicates(["a", "b"]))
 
 
+def _block_ids_mat(tbl: pa.Table, id_col: str, vec_col: str):
+    """(ids, row-normalized float64 matrix) from one Arrow block — vectorized
+    via the list column's flat child values, no per-row to_pylist."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 1))
+    arr = tbl[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), -1)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def embedding_dup_pairs_exact(ds: rd.Dataset, *, threshold: float = 0.98,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> rd.Dataset:
+    """Exact all-pairs cosine near-dup (a < b, cosine ≥ threshold) with NO
+    driver materialization: the (id, vec) projection is materialized into the
+    *object store* (stays distributed as blocks), the tiny block-pair index
+    (i ≤ j) fans out as a Dataset, and each task fetches exactly two blocks
+    zero-copy and matmuls them. Peak task memory = 2 blocks; the N²/B² task
+    count is inherent to exactness — ``embedding_dup_pairs`` guards on row
+    count and routes large inputs to the LSH path instead."""
+    blocks = ds.select_columns([id_col, vec_col]).materialize()
+    nonempty = blocks.to_arrow_refs()
+    nb = len(nonempty)
+    if nb == 0:
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    idx_tbl = pa.table({
+        "i": pa.array([i for i in range(nb) for _ in range(i, nb)], pa.int32()),
+        "j": pa.array([j for i in range(nb) for j in range(i, nb)], pa.int32()),
+    })
+
+    def compare(b: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+            ids_a, mat_a = _block_ids_mat(ray.get(nonempty[i]), id_col, vec_col)
+            if len(ids_a) == 0:
+                continue
+            if i == j:
+                ids_b, mat_b = ids_a, mat_a
+            else:
+                ids_b, mat_b = _block_ids_mat(ray.get(nonempty[j]), id_col, vec_col)
+                if len(ids_b) == 0:
+                    continue
+            sims = mat_a @ mat_b.T
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ids_a[ii], ids_b[jj]
+            keep = ia != ib  # kills the i==j diagonal; ids are unique
+            if i == j:
+                keep &= ia < ib  # i==j sees both orientations; keep one
+            lo = np.minimum(ia[keep], ib[keep])
+            hi = np.maximum(ia[keep], ib[keep])
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+            out_c.extend(np.round(sims[ii, jj][keep], 6).tolist())
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    return rd.from_arrow(idx_tbl).map_batches(compare, batch_format="pyarrow",
+                                              batch_size=2)
+
+
 def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.98,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> rd.Dataset:
-    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold). Broadcast the
-    normalized matrix once (ray.put), blocked matmul per batch — no shuffle."""
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    ref = ray.put((ids, mat))
-
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = np.array(batch[id_col].to_pylist())
-        bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ all_mat.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = bids[ii] < all_ids[jj]
-        return pa.table({
-            "a": pa.array(bids[ii][keep].tolist(), pa.int64()),
-            "b": pa.array(all_ids[jj][keep].tolist(), pa.int64()),
-            "cosine": pa.array(np.round(sims[ii, jj][keep], 6).tolist(), pa.float64()),
-        })
-
-    return ds.map_batches(block, batch_format="pyarrow")
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exact_max_rows: int = 200_000,
+                        lsh_kwargs: dict | None = None) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs — guarded hybrid. Small inputs
+    (≤ ``exact_max_rows``) run the exact streaming block-pair matmul
+    (``embedding_dup_pairs_exact``); larger inputs route to hyperplane LSH
+    (``embedding_dup_pairs_lsh``), whose recall/threshold knobs can be tuned
+    via ``lsh_kwargs``. Nothing in either path materializes the table on the
+    driver."""
+    if ds.count() > exact_max_rows:
+        return embedding_dup_pairs_lsh(ds, threshold=threshold, id_col=id_col,
+                                       vec_col=vec_col, **(lsh_kwargs or {}))
+    return embedding_dup_pairs_exact(ds, threshold=threshold, id_col=id_col,
+                                     vec_col=vec_col)
