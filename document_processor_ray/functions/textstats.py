@@ -12,7 +12,7 @@ which is a callable class (compiled profiles once per actor).
 from __future__ import annotations
 
 import hashlib
-import re
+
 
 import numpy as np
 import pyarrow as pa
@@ -72,33 +72,56 @@ _PROFILES = {
 class LangId:
     """Actor-pool language-ID stage: profiles compiled once per actor
     (``map_batches(LangId, concurrency=N)``). Prediction = argmax stopword-hit
-    ratio; 'und' (undetermined) when no profile scores ≥ min_ratio."""
+    ratio; 'und' (undetermined) when no profile scores ≥ min_ratio.
+
+    Fully vectorized: tokenization is one RE2 split over the batch, per-token
+    profile membership is ``pc.is_in`` over the flattened token array, and
+    per-doc hit counts come from ``np.bincount`` on the list parent indices —
+    no per-row/per-token Python loop. Tie semantics match the scalar spec:
+    profiles in sorted language order, first maximum wins."""
 
     def __init__(self, text_col: str = "text", min_ratio: float = 0.03):
         self.text_col = text_col
         self.min_ratio = min_ratio
-        self.word_re = re.compile(r"[a-zà-ÿäöüßñ']+")
-        self.profiles = sorted(_PROFILES.items())  # deterministic tie order
+        # complement split of the scalar tokenizer [a-zà-ÿäöüßñ']+ (same
+        # codepoint-class semantics in RE2 and Python re)
+        self.sep_pat = r"[^a-zà-ÿäöüßñ']+"
+        profiles = sorted(_PROFILES.items())  # deterministic tie order
+        self.langs = np.array([lang for lang, _ in profiles])
+        self.sets = [pa.array(sorted(prof)) for _, prof in profiles]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for text in batch[self.text_col].to_pylist():
-            toks = self.word_re.findall((text or "").lower())
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles:
-                r = sum(1 for w in toks if w in prof) / len(toks)
-                if r > best:
-                    best_lang, best = lang, r
-            if best < self.min_ratio:
-                best_lang = "und"
-            preds.append(best_lang)
-            scores.append(round(best, 6))
-        return batch.append_column("pred_lang", pa.array(preds, pa.string())) \
-                    .append_column("lang_score", pa.array(scores, pa.float64()))
+        from ..core import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("pred_lang", pa.array([], pa.string())) \
+                        .append_column("lang_score", pa.array([], pa.float64()))
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lower = pc.utf8_lower(pc.fill_null(col, ""))
+        toks = pc.split_pattern_regex(lower, pattern=self.sep_pat)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "")
+        mask = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+        par = parent[mask]
+        flat_ne = flat.filter(nonempty)
+        ntok = np.bincount(par, minlength=n).astype(np.float64)
+        ratios = np.zeros((len(self.langs), n))
+        for li, value_set in enumerate(self.sets):
+            hits = pc.is_in(flat_ne, value_set=value_set).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            ratios[li] = np.bincount(par, weights=hits, minlength=n)
+        ratios /= np.maximum(ntok, 1.0)
+        best_idx = np.argmax(ratios, axis=0)  # first max == scalar strict-> loop
+        best = ratios[best_idx, np.arange(n)]
+        preds = np.where(best >= self.min_ratio, self.langs[best_idx], "und")
+        return batch.append_column(
+            "pred_lang", pa.array(preds.tolist(), pa.string())
+        ).append_column("lang_score", pa.array(np.round(best, 6), pa.float64()))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 8,

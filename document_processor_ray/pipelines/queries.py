@@ -590,16 +590,20 @@ def q_extract_flagship(sf_dir):
                            ExtractConfig(split_threshold=500, chunk_size=200))
 
     def flatten(b: pa.Table) -> pa.Table:
-        ids, kinds, texts, refs, offs = [], [], [], [], []
-        for did, spans in zip(b["doc_id"].to_pylist(), b["spans"].to_pylist()):
-            for s in spans:
-                ids.append(did); kinds.append(s["kind"]); texts.append(s["text"])
-                refs.append(s["media_ref"]); offs.append(s["offset"])
-        return pa.table({"doc_id": pa.array(ids, pa.string()),
-                         "offset": pa.array(offs, pa.int32()),
-                         "kind": pa.array(kinds, pa.string()),
-                         "text": pa.array(texts, pa.string()),
-                         "media_ref": pa.array(refs, pa.string())})
+        # vectorized explode: list_parent_indices + the list's flat struct child
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        vals = spans.flatten()
+        doc_id = b["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table({"doc_id": doc_id.take(parent),
+                         "offset": vals.field("offset"),
+                         "kind": vals.field("kind"),
+                         "text": vals.field("text"),
+                         "media_ref": vals.field("media_ref")})
 
     return out.map_batches(flatten, batch_format="pyarrow")
 
