@@ -83,7 +83,10 @@ def _pool(cfg: ExtractConfig):
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         n = 8
-    return max(2, (n * 3) // 4)
+    # leave >=2 CPUs of headroom below the cluster size: the giant-doc branch
+    # holds a min-1 actor and the read/filter/write task operators need at
+    # least one schedulable CPU, or a unioned plan deadlocks on tiny clusters
+    return max(2, min((n * 3) // 4, n - 3))
 
 
 def _branches(source, cfg: ExtractConfig):
@@ -105,10 +108,12 @@ def _branches(source, cfg: ExtractConfig):
         small = rd.from_arrow(small_tbl)
         big = rd.from_arrow(big_tbl) if big_tbl.num_rows else None
     else:
-        # generic Dataset input: no pushdown available; route everything through the
-        # chunked path only when asked to split, else whole-doc path
-        small = source
-        big = None
+        # generic Dataset input (e.g. a corpus derived inside map_batches): no
+        # parquet pushdown, so branch with streaming filters that share the
+        # lazy upstream lineage — each branch re-executes the (cheap,
+        # streaming) derivation rather than materializing the corpus anywhere
+        small = source.filter(expr=f"n_spans <= {T}")
+        big = source.filter(expr=f"n_spans > {T}")
 
     pool = _pool(cfg)
     small_out = (

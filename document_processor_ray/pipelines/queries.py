@@ -574,11 +574,14 @@ GROUP BY c_mktsegment
 
 
 def _interleaved_corpus(sf_dir):
+    """Interleaved corpus derived deterministically from the flat documents
+    table — INSIDE map_batches over a streamed read (each doc's derivation
+    depends only on its own row, so batch boundaries don't matter). The
+    previous version built the whole corpus as one driver-side pa.Table."""
     from ..data.synth import corpus_from_flat
 
-    flat = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    return corpus_from_flat(flat, seed=42)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: corpus_from_flat(b, seed=42), batch_format="pyarrow")
 
 
 def q_extract_flagship(sf_dir):
@@ -620,8 +623,6 @@ def q_near_dedup_resolve(sf_dir):
 def q_html_strip_stats(sf_dir):
     """Standalone HTML boilerplate-strip stage over the interleaved corpus:
     per html doc, spans kept vs dropped by the anchor-density rule."""
-    import ray.data as _rd
-
     from ..functions import text_clean as tc
 
     corpus = _interleaved_corpus(sf_dir)
@@ -653,7 +654,7 @@ def q_html_strip_stats(sf_dir):
                          "n_kept": pa.array(kept, pa.int32()),
                          "n_dropped": pa.array(dropped, pa.int32())})
 
-    return _rd.from_arrow(corpus).map_batches(stats, batch_format="pyarrow")
+    return corpus.map_batches(stats, batch_format="pyarrow")
 
 
 def q_approx_distinct_users(sf_dir):
