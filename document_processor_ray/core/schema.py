@@ -25,6 +25,21 @@ PAYLOAD_TYPE = pa.struct(
     ]
 )
 
+# §6b layout/hierarchy side column: one element per OUTPUT span (2-decimal
+# bbox like the reference's Position; ref/parent_ref/level parent-pointer tree)
+SPANS_META_TYPE = pa.struct(
+    [
+        ("ref", pa.string()),
+        ("parent_ref", pa.string()),
+        ("level", pa.int32()),
+        ("page_no", pa.int32()),
+        ("l", pa.float64()),
+        ("t", pa.float64()),
+        ("r", pa.float64()),
+        ("b", pa.float64()),
+    ]
+)
+
 METRICS_TYPE = pa.struct(
     [
         ("doc_class", pa.string()),

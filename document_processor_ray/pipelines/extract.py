@@ -44,6 +44,7 @@ class ExtractConfig:
     regroup_partitions: int = 64     # coarse hash partitions for the giant-doc regroup
     engine_effort: int = 0           # emulated per-span inference cost (see ParseStage)
     override_num_blocks: int | None = None
+    emit_layout: bool = True         # §6b spans_meta (positions + hierarchy) column
 
 
 def _parquet_paths(path: str | list[str]) -> list[str]:
@@ -161,6 +162,12 @@ def _branches(source, cfg: ExtractConfig):
             .groupby("regroup_part")
             .map_groups(finalize_group, batch_format="pyarrow")
         )
+    if cfg.emit_layout:
+        from ..stages.layout import add_layout_batch
+
+        small_out = small_out.map_batches(add_layout_batch, batch_format="pyarrow")
+        if big_out is not None:
+            big_out = big_out.map_batches(add_layout_batch, batch_format="pyarrow")
     return small_out, big_out
 
 

@@ -611,6 +611,64 @@ def q_extract_flagship(sf_dir):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_span_positions(sf_dir):
+    """Layout fidelity surface (SPEC §6b): flagship extraction with the
+    spans_meta column, flattened to one row per output span with page/bbox and
+    hierarchy fields (the reference's Position + ref/parent_ref/level)."""
+    from .extract import ExtractConfig, build_extraction
+
+    out = build_extraction(_interleaved_corpus(sf_dir),
+                           ExtractConfig(split_threshold=500, chunk_size=200))
+
+    def flatten(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        meta = b["spans_meta"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        if isinstance(meta, pa.ChunkedArray):
+            meta = meta.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        sv, mv = spans.flatten(), meta.flatten()
+        doc_id = b["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table({"doc_id": doc_id.take(parent),
+                         "offset": sv.field("offset"),
+                         "kind": sv.field("kind"),
+                         "ref": mv.field("ref"),
+                         "parent_ref": mv.field("parent_ref"),
+                         "level": mv.field("level"),
+                         "page_no": mv.field("page_no"),
+                         "l": mv.field("l"), "t": mv.field("t"),
+                         "r": mv.field("r"), "b": mv.field("b")})
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_page_layout(sf_dir):
+    """SQL-checkable projection of the §6b layout arithmetic over the flat
+    documents table: lines at 80 chars/line, 46 lines per 648pt page."""
+
+    def f(b: pa.Table) -> pa.Table:
+        n_chars = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines = np.maximum(1, -(-n_chars // 80))
+        n_pages = -(-n_lines // 46)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_lines": pa.array(n_lines, pa.int64()),
+                         "n_pages": pa.array(n_pages, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_PAGE_LAYOUT = """
+SELECT doc_id,
+       greatest(1, CAST(ceil(n_chars / 80.0) AS BIGINT)) AS n_lines,
+       CAST(ceil(greatest(1, CAST(ceil(n_chars / 80.0) AS BIGINT)) / 46.0) AS BIGINT)
+         AS n_pages
+FROM documents
+"""
+
+
 def q_near_dedup_resolve(sf_dir):
     """End-to-end near-dedup over documents: MinHash-LSH pairs → connected
     components → keep min-id representative per cluster."""
@@ -726,4 +784,6 @@ QUERIES = {
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
+    "span_positions": (q_span_positions, None),
+    "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
 }

@@ -170,3 +170,43 @@ def _out(doc_id, spans, doc_class, ocr_path, n_in, n_err, error):
 
 def extract_corpus(rows: list[dict]) -> dict[str, dict]:
     return {r["doc_id"]: extract_doc(r) for r in rows}
+
+
+# --- SPEC §6b: layout geometry + hierarchy over the OUTPUT span sequence ----
+
+_MEDIA_HEIGHT = {"picture": 240, "table": 160, "code": 120, "formula": 80}
+
+
+def layout_of(out_spans: list[dict]) -> list[dict]:
+    """Pure function of the final output spans → one meta dict per span."""
+    metas = []
+    page, y = 1, 72
+    title = None     # (ref, level)
+    section = None
+    for s in out_spans:
+        kind = s["kind"]
+        if kind in MEDIA_KINDS:
+            h = _MEDIA_HEIGHT[kind]
+        else:
+            nlines = (len(s["text"]) + 79) // 80
+            h = 14 * max(1, nlines)
+        if y + h > 720 and y > 72:
+            page, y = page + 1, 72
+        ref = "#/spans/%d" % s["offset"]
+        if kind == "title":
+            parent, level = "#/", 1
+            title, section = (ref, 1), None
+        elif kind == "section_header":
+            p = title if title else ("#/", 0)
+            parent, level = p[0], p[1] + 1
+            section = (ref, level)
+        else:
+            p = section if section else (title if title else ("#/", 0))
+            parent, level = p[0], p[1] + 1
+        metas.append({
+            "ref": ref, "parent_ref": parent, "level": level, "page_no": page,
+            "l": round(72.0, 2), "t": round(float(y), 2),
+            "r": round(540.0, 2), "b": round(float(y + h), 2),
+        })
+        y += h
+    return metas
