@@ -75,6 +75,10 @@ MEDIA_SCHEMA = pa.schema(
         ("content_type", pa.string()),
         ("width", pa.int32()),
         ("height", pa.int32()),
+        # cleaned cell matrix for tables (reference table_data,
+        # slice_extractor.py:147-179), JSON-encoded so str|int|null cell types
+        # survive; null for images — queryable without re-decoding the blob
+        ("cells_json", pa.string()),
         ("data", pa.large_binary()),
     ]
 )

@@ -205,7 +205,9 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
     from ..functions.text_clean import clean_text
 
     def to_media(b: pa.Table) -> pa.Table:
-        refs, ctypes, ws, hs, datas = [], [], [], [], []
+        import json
+
+        refs, ctypes, ws, hs, cells, datas = [], [], [], [], [], []
         seen = set()
         for plist in b["payloads"].to_pylist():
             for p in plist or []:
@@ -221,14 +223,23 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
                 refs.append(ref)
                 if isinstance(dec, codec.DecodedImage):
                     ctypes.append("image/x-synth"); ws.append(dec.width); hs.append(dec.height)
+                    cells.append(None)
                 else:
                     ctypes.append("table/x-synth"); ws.append(0); hs.append(0)
+                    # cleaned cell matrix (T6: reference table_data) as a
+                    # queryable column — identical bytes to the canonical
+                    # blob's payload, so no second cleaning pass can diverge
+                    cleaned = [[clean_text(c) if isinstance(c, str) else c
+                                for c in row] for row in dec.rows]
+                    cells.append(json.dumps(cleaned, separators=(",", ":"),
+                                            ensure_ascii=True))
                 datas.append(canonical)
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
             "content_type": pa.array(ctypes, pa.string()),
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
+            "cells_json": pa.array(cells, pa.string()),
             "data": pa.array(datas, pa.large_binary()),
         })
 

@@ -669,6 +669,32 @@ FROM documents
 """
 
 
+def q_table_cells(sf_dir):
+    """T6 surface: cleaned table cell matrices as a queryable column — media
+    table over the flagship corpus, tables only, with per-table shape stats
+    derived from cells_json (no blob re-decode)."""
+    import json
+
+    from .extract import ExtractConfig, build_media_table
+
+    media = build_media_table(_interleaved_corpus(sf_dir), ExtractConfig())
+
+    def shape(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["content_type"], "table/x-synth"))
+        rows_n, cols_n, nulls_n = [], [], []
+        for cj in t["cells_json"].to_pylist():
+            cells = json.loads(cj)
+            rows_n.append(len(cells))
+            cols_n.append(len(cells[0]) if cells else 0)
+            nulls_n.append(sum(1 for r in cells for c in r if c is None))
+        return pa.table({"media_ref": t["media_ref"],
+                         "n_rows": pa.array(rows_n, pa.int32()),
+                         "n_cols": pa.array(cols_n, pa.int32()),
+                         "n_null_cells": pa.array(nulls_n, pa.int32())})
+
+    return media.map_batches(shape, batch_format="pyarrow")
+
+
 def q_near_dedup_resolve(sf_dir):
     """End-to-end near-dedup over documents: MinHash-LSH pairs → connected
     components → keep min-id representative per cluster."""
@@ -786,4 +812,5 @@ QUERIES = {
     "extract_metrics": (q_extract_metrics, None),
     "span_positions": (q_span_positions, None),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
+    "table_cells": (q_table_cells, None),
 }

@@ -119,3 +119,37 @@ def test_media_table_matches_span_refs(tmp_path):
     for m in media[:20]:
         assert m["media_ref"] == "media://" + hl.sha256(m["data"]).hexdigest()[:16]
         assert m["content_type"] in ("image/x-synth", "table/x-synth")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_table_cells_match_oracle():
+    """T6: the queryable cells_json column equals the oracle's independently
+    cleaned cell matrix (str|int|null fidelity preserved via JSON)."""
+    import json
+
+    from document_processor_ray.pipelines.extract import build_media_table
+
+    corpus = gen_corpus(80, seed=13, media_rate=0.6)
+    media = build_media_table(corpus, ExtractConfig()).take_all()
+    # oracle side: decode every payload independently, clean, key by canonical ref
+    want = {}
+    for row in corpus.to_pylist():
+        for p in row["payloads"]:
+            dec = oracle.decode(p["data"])
+            if dec is None:
+                continue
+            ref = oracle.canonical_ref(dec)
+            if dec[0] == "tbl":
+                want[ref] = [[oracle.clean(c) if isinstance(c, str) else c
+                              for c in r] for r in dec[1]]
+            else:
+                want[ref] = None
+    n_tables = 0
+    for m in media:
+        assert m["media_ref"] in want
+        if m["content_type"] == "table/x-synth":
+            assert json.loads(m["cells_json"]) == want[m["media_ref"]]
+            n_tables += 1
+        else:
+            assert m["cells_json"] is None
+    assert n_tables > 5
