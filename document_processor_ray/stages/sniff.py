@@ -42,6 +42,65 @@ def list_offsets(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]
     return col.values, offs
 
 
+# --------------------------------------------------------------------------
+# Byte-level magic sniffing (F1 analog — reference api.py:86-90 gates uploads
+# on content type BEFORE any parsing; real document bytes must route by their
+# magic, not by span text). Used by the raw-upload seam ahead of the span-text
+# classifier below; the interleaved-span corpus path is unaffected.
+# --------------------------------------------------------------------------
+
+_MAGIC_TYPES: list[tuple[bytes, str]] = [
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"SIMG1\0", "image/x-synth"),
+    (b"STBL1\0", "table/x-synth"),
+]
+
+_HTML_MARKERS = (b"<!doctype", b"<html", b"<head", b"<body", b"<div", b"<p",
+                 b"<a ", b"<a>", b"<nav", b"<span", b"<table", b"<ul", b"<ol")
+
+
+def sniff_magic(data: bytes | None) -> str:
+    """Content type from the leading bytes: binary magics first, then an HTML
+    marker scan over the (whitespace-stripped, lowercased) head, then a
+    printable-ratio text/binary split."""
+    if not data:
+        return "application/x-empty"
+    for magic, ctype in _MAGIC_TYPES:
+        if data[: len(magic)] == magic:
+            return ctype
+    head = data[:512].lstrip()[:256].lower()
+    if head.startswith(b"<") and any(m in head for m in _HTML_MARKERS):
+        return "text/html"
+    probe = data[:512]
+    n_printable = sum(1 for b in probe if 32 <= b < 127 or b in (9, 10, 13))
+    if n_printable >= 0.95 * len(probe):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+def sniff_magic_batch(batch: pa.Table, data_col: str = "data",
+                      accept: tuple[str, ...] = ("application/pdf",
+                                                 "text/html")) -> pa.Table:
+    """Upload-gate stage: append content_type (from byte magic) and accepted
+    (reference api.py:86-90 rejects everything but its accepted types with 415
+    before parsing). Runs as a plain map_batches task over a binary column."""
+    col = batch[data_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # only the heads leave the column: slice before materializing python bytes
+    heads = pc.binary_slice(col, 0, 600)
+    ctypes = [sniff_magic(h) for h in heads.to_pylist()]
+    acc = [c in accept for c in ctypes]
+    return batch.append_column(
+        "content_type", pa.array(ctypes, pa.string())
+    ).append_column("accepted", pa.array(acc, pa.bool_()))
+
+
 def sniff_batch(batch: pa.Table) -> pa.Table:
     """Append doc_class / est_cost columns. One vectorized pass over span texts."""
     from ..core import limit_arrow_threads
