@@ -20,6 +20,14 @@ IMG_MAGIC = b"SIMG1\0"
 TBL_MAGIC = b"STBL1\0"
 ENC_IMG_MAGIC = b"EIMG1\0"
 ENC_TBL_MAGIC = b"ETBL1\0"
+ENC_IMG_RAW_MAGIC = b"EIMGR\0"  # "synth-raw" image container (no compression)
+
+# I3 analog (reference image_extractor.py:42-64 + api.py:77-79: JPEG/PNG/WEBP
+# format + quality knobs). The synth codec exposes the same config surface:
+# an output container per format name, and quality = compression level.
+FORMATS = ("synth-z", "synth-raw")
+DEFAULT_FORMAT = "synth-z"
+DEFAULT_QUALITY = 9
 
 
 class CodecError(ValueError):
@@ -63,19 +71,45 @@ def decode_payload(data: bytes) -> DecodedImage | DecodedTable:
     raise CodecError("unknown payload magic")
 
 
-def reencode(decoded: DecodedImage | DecodedTable, clean) -> bytes:
-    """Canonical deterministic re-encode; ``clean`` is the N1 scalar cleaner."""
+def reencode(decoded: DecodedImage | DecodedTable, clean,
+             fmt: str = DEFAULT_FORMAT, quality: int = DEFAULT_QUALITY) -> bytes:
+    """Deterministic re-encode; ``clean`` is the N1 scalar cleaner. The
+    defaults produce the CANONICAL encoding of SPEC §5 (which the equality
+    invariant and content-addressed refs assume); ``fmt``/``quality`` are the
+    I3 config surface — non-default values yield different (still
+    deterministic, still content-addressed) bytes, exactly like choosing
+    JPEG-vs-PNG or a quality level in the reference. Format applies to images
+    (as in the reference); tables always use the ETBL container but honor
+    ``quality``."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown media format {fmt!r}; known: {FORMATS}")
     if isinstance(decoded, DecodedImage):
-        return (
-            ENC_IMG_MAGIC
-            + struct.pack("<II", decoded.width, decoded.height)
-            + zlib.compress(clean(decoded.text).encode("utf-8"), 9)
-        )
+        payload = clean(decoded.text).encode("utf-8")
+        dims = struct.pack("<II", decoded.width, decoded.height)
+        if fmt == "synth-raw":
+            return ENC_IMG_RAW_MAGIC + dims + payload
+        return ENC_IMG_MAGIC + dims + zlib.compress(payload, quality)
     cleaned = [
         [clean(c) if isinstance(c, str) else c for c in row] for row in decoded.rows
     ]
     blob = json.dumps(cleaned, separators=(",", ":"), ensure_ascii=True).encode("utf-8")
-    return ENC_TBL_MAGIC + zlib.compress(blob, 9)
+    return ENC_TBL_MAGIC + zlib.compress(blob, quality)
+
+
+def decode_canonical(data: bytes) -> DecodedImage | DecodedTable:
+    """Decode a re-encoded (canonical or configured) blob — round-trip seam."""
+    try:
+        if data[:6] == ENC_IMG_MAGIC:
+            w, h = struct.unpack("<II", data[6:14])
+            return DecodedImage(w, h, zlib.decompress(data[14:]).decode("utf-8"))
+        if data[:6] == ENC_IMG_RAW_MAGIC:
+            w, h = struct.unpack("<II", data[6:14])
+            return DecodedImage(w, h, data[14:].decode("utf-8"))
+        if data[:6] == ENC_TBL_MAGIC:
+            return DecodedTable(json.loads(zlib.decompress(data[6:]).decode("utf-8")))
+    except Exception as exc:
+        raise CodecError(str(exc)) from exc
+    raise CodecError("unknown canonical magic")
 
 
 def media_ref_of(canonical: bytes) -> str:

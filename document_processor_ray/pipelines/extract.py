@@ -45,6 +45,14 @@ class ExtractConfig:
     engine_effort: int = 0           # emulated per-span inference cost (see ParseStage)
     override_num_blocks: int | None = None
     emit_layout: bool = True         # §6b spans_meta (positions + hierarchy) column
+    # F3 analog (reference first_page/last_page): inclusive input-offset range;
+    # spans outside it are dropped before classification (SPEC §6c)
+    first_span: int | None = None
+    last_span: int | None = None
+    # I3 analog (reference image format/quality knobs): defaults = SPEC §5
+    # canonical encoding; non-defaults change media bytes/refs deterministically
+    media_format: str = "synth-z"
+    media_quality: int = 9
 
 
 def _parquet_paths(path: str | list[str]) -> list[str]:
@@ -116,13 +124,23 @@ def _branches(source, cfg: ExtractConfig):
         small = source.filter(expr=f"n_spans <= {T}")
         big = source.filter(expr=f"n_spans > {T}")
 
+    if cfg.first_span is not None or cfg.last_span is not None:
+        from ..stages.split import make_span_range_batch
+
+        rng = make_span_range_batch(cfg.first_span, cfg.last_span)
+        small = small.map_batches(rng, batch_format="pyarrow")
+        if big is not None:
+            big = big.map_batches(rng, batch_format="pyarrow")
+
+    parse_kwargs = {"media_dir": cfg.media_dir, "engine_effort": cfg.engine_effort,
+                    "media_format": cfg.media_format,
+                    "media_quality": cfg.media_quality}
     pool = _pool(cfg)
     small_out = (
         small.map_batches(sniff_batch, batch_format="pyarrow")
         .map_batches(
             ParseStage,
-            fn_constructor_kwargs={"mode": "whole", "media_dir": cfg.media_dir,
-                                   "engine_effort": cfg.engine_effort},
+            fn_constructor_kwargs={"mode": "whole", **parse_kwargs},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=pool,
@@ -149,8 +167,7 @@ def _branches(source, cfg: ExtractConfig):
             )
             .map_batches(
                 ParseStage,
-                fn_constructor_kwargs={"mode": "chunks", "media_dir": cfg.media_dir,
-                                       "engine_effort": cfg.engine_effort},
+                fn_constructor_kwargs={"mode": "chunks", **parse_kwargs},
                 batch_format="pyarrow",
                 batch_size=4,
                 concurrency=(1, 4),  # tiny tail branch: autoscale, never starve main
@@ -215,7 +232,8 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
                     dec = codec.decode_payload(p["data"])
                 except codec.CodecError:
                     continue
-                canonical = codec.reencode(dec, clean_text)
+                canonical = codec.reencode(dec, clean_text, cfg.media_format,
+                                           cfg.media_quality)
                 ref = codec.media_ref_of(canonical)
                 if ref in seen:
                     continue

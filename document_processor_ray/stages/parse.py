@@ -105,13 +105,18 @@ class ParseStage:
     """Callable class for ``map_batches`` actor pools. Mode: 'whole' | 'chunks'."""
 
     def __init__(self, mode: str = "whole", media_dir: str | None = None,
-                 engine_effort: int = 0):
+                 engine_effort: int = 0, media_format: str = codec.DEFAULT_FORMAT,
+                 media_quality: int = codec.DEFAULT_QUALITY):
         assert mode in ("whole", "chunks")
         from ..core import limit_arrow_threads
 
         limit_arrow_threads(1)  # one actor = one CPU; see core.limit_arrow_threads
         self.mode = mode
         self.store = MediaStore(media_dir)
+        # I3 config surface: defaults = the SPEC §5 canonical encoding the
+        # equality invariant assumes; non-default knobs change refs/bytes
+        # deterministically (JPEG/PNG/quality analog)
+        self.media_format, self.media_quality = media_format, media_quality
         # Warm engine state (reference: lru_cache'd converters, dl_converter.py:29).
         self.clean = tc.clean_text
         # Calibrated per-span inference cost emulation. The real engines behind
@@ -221,7 +226,9 @@ class ParseStage:
                     else:
                         try:
                             dec = codec.decode_payload(data)
-                            canonical = codec.reencode(dec, self.clean)
+                            canonical = codec.reencode(dec, self.clean,
+                                                       self.media_format,
+                                                       self.media_quality)
                             ref_out = codec.media_ref_of(canonical)
                             self.store.put(ref_out, canonical)
                             ocr = codec.ocr_text(dec)

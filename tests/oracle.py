@@ -99,9 +99,16 @@ def ocr_of(dec) -> str:
                     if c is not None and str(c) != "")
 
 
-def extract_doc(row: dict) -> dict:
-    """row: {doc_id, spans, payloads} → {doc_id, spans, metrics} per SPEC."""
+def extract_doc(row: dict, span_range: tuple | None = None) -> dict:
+    """row: {doc_id, spans, payloads} → {doc_id, spans, metrics} per SPEC.
+    ``span_range``: optional inclusive (first, last) input-offset bounds
+    (SPEC §6c) applied before anything else; None bounds are open."""
     spans_in = sorted(row.get("spans") or [], key=lambda s: s["offset"])
+    if span_range is not None:
+        fs, ls = span_range
+        spans_in = [s for s in spans_in
+                    if (fs is None or s["offset"] >= fs)
+                    and (ls is None or s["offset"] <= ls)]
     payloads = {p["media_ref"]: p["data"] for p in (row.get("payloads") or [])}
     doc_class = classify(spans_in)
     if doc_class == "empty":

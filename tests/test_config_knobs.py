@@ -1,0 +1,82 @@
+"""F3 span-range selection and I3 media format/quality config knobs."""
+
+from __future__ import annotations
+
+import pytest
+
+from document_processor_ray.core import codec
+from document_processor_ray.data.synth import gen_corpus
+from document_processor_ray.pipelines.extract import (ExtractConfig,
+                                                      build_extraction,
+                                                      build_media_table)
+
+import oracle
+
+
+def _seqs(rows):
+    return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]] for r in rows}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_range_matches_oracle():
+    corpus = gen_corpus(150, seed=21, giant_rate=0.03)
+    rng = (2, 7)
+    out = build_extraction(
+        corpus, ExtractConfig(split_threshold=80, chunk_size=30,
+                              first_span=rng[0], last_span=rng[1])
+    ).take_all()
+    got = _seqs(out)
+    want = _seqs([oracle.extract_doc(r, span_range=rng)
+                  for r in corpus.to_pylist()])
+    assert got == want
+    # the range genuinely truncates: every doc has at most 6 input spans now
+    assert all(r["metrics"]["n_spans_in"] <= 6 for r in out)
+    # open-ended range: first_span only
+    out2 = build_extraction(
+        corpus, ExtractConfig(split_threshold=80, chunk_size=30, first_span=5)
+    ).take_all()
+    want2 = _seqs([oracle.extract_doc(r, span_range=(5, None))
+                   for r in corpus.to_pylist()])
+    assert _seqs(out2) == want2
+
+
+def test_media_format_quality_knobs():
+    img = codec.DecodedImage(64, 32, "some  glyph<123> text")
+    clean = oracle.clean
+    default = codec.reencode(img, clean)
+    raw = codec.reencode(img, clean, fmt="synth-raw")
+    fast = codec.reencode(img, clean, quality=1)
+    assert default[:6] == codec.ENC_IMG_MAGIC
+    assert raw[:6] == codec.ENC_IMG_RAW_MAGIC
+    # all three decode back to identical content (lossless format/quality)
+    for blob in (default, raw, fast):
+        dec = codec.decode_canonical(blob)
+        assert (dec.width, dec.height, dec.text) == (64, 32, clean(img.text))
+    # content addressing: different bytes → different refs, deterministically
+    assert codec.media_ref_of(raw) != codec.media_ref_of(default)
+    assert codec.reencode(img, clean, fmt="synth-raw") == raw
+    with pytest.raises(ValueError):
+        codec.reencode(img, clean, fmt="webp")
+
+    tbl = codec.DecodedTable([["h", "i"], ["a", 1], [None, "glyph<9>"]])
+    t_default = codec.reencode(tbl, clean)
+    t_fast = codec.reencode(tbl, clean, quality=0)
+    assert codec.decode_canonical(t_fast).rows == codec.decode_canonical(t_default).rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_table_honors_format_config():
+    corpus = gen_corpus(40, seed=22, media_rate=0.6)
+    default = build_media_table(corpus, ExtractConfig()).take_all()
+    raw = build_media_table(
+        corpus, ExtractConfig(media_format="synth-raw", media_quality=1)
+    ).take_all()
+    d_imgs = {m["media_ref"] for m in default if m["content_type"] == "image/x-synth"}
+    r_imgs = {m["media_ref"] for m in raw if m["content_type"] == "image/x-synth"}
+    assert len(d_imgs) == len(r_imgs) and d_imgs.isdisjoint(r_imgs)
+    for m in raw:
+        if m["content_type"] == "image/x-synth":
+            assert bytes(m["data"][:6]) == codec.ENC_IMG_RAW_MAGIC
+        dec = codec.decode_canonical(m["data"])  # every blob round-trips
+        assert dec is not None
