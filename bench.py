@@ -38,6 +38,14 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "20"))
 # scaling measurement compute-bound while remaining far LIGHTER than reality.
 # (effort=16 ~ 4.4ms/doc measured)
 EFFORT = int(os.environ.get("GRAFT_BENCH_EFFORT", "16"))
+# --scaling runs the headline job at a higher effort (default 64 ~ 19ms/doc,
+# still ~50x lighter than real Docling OCR) so the ~2-4s of fixed 32-CPU
+# overhead (actor ramp + write tail) amortizes below 3% and the raw N->4N
+# efficiency measures the architecture, not the ramp. Kernel choice is
+# deliberate: sha256-16KiB has the LOWEST measured all-core slowdown of the
+# candidates (1.10x vs 1.16x python-int, 1.56x numpy-matmul at 6->24 procs).
+SCALING_EFFORT = int(os.environ.get("GRAFT_SCALING_EFFORT", "64"))
+SKIP_QUERIES = os.environ.get("GRAFT_SKIP_QUERIES", "") == "1"
 SEED = 42
 
 BENCH_QUERIES = [
@@ -169,7 +177,7 @@ def run_bench() -> dict:
     from document_processor_ray.pipelines.queries import QUERIES
 
     qtimes = {}
-    for name in BENCH_QUERIES:
+    for name in ([] if SKIP_QUERIES else BENCH_QUERIES):
         fn = QUERIES[name][0]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
@@ -227,7 +235,9 @@ def run_scaling() -> dict:
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_EFFORT=str(SCALING_EFFORT),
+                   GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=REPO)
@@ -252,6 +262,7 @@ def run_scaling() -> dict:
         "machine_parallel_slowdown": round(slow, 3),
         "normalized_scaling_efficiency": round(min(eff * slow, 1.0), 3),
         "docs": results[lo]["docs"],
+        "engine_effort": results[lo].get("engine_effort"),
         "sf": SF_DIR,
     }
     _record_baseline(summary, lo, hi)
@@ -263,7 +274,8 @@ def _record_baseline(s: dict, lo: int, hi: int) -> None:
 
     line = (
         f"| measured {datetime.date.today()} | extraction e2e, {s['docs']} docs over "
-        f"`{s['sf']}`-derived corpus | {s[f'docs_per_s_{lo}']} docs/s @ {lo} cpus, "
+        f"`{s['sf']}`-derived corpus, effort={s.get('engine_effort')} | "
+        f"{s[f'docs_per_s_{lo}']} docs/s @ {lo} cpus, "
         f"{s[f'docs_per_s_{hi}']} docs/s @ {hi} cpus | raw (t{lo}/t{hi})/{hi // lo} = "
         f"**{s['value']}**; machine all-core slowdown {s['machine_parallel_slowdown']}x "
         f"→ normalized **{s['normalized_scaling_efficiency']}** |\n"

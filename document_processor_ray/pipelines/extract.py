@@ -94,8 +94,10 @@ def _pool(cfg: ExtractConfig):
         n = 8
     # leave >=2 CPUs of headroom below the cluster size: the giant-doc branch
     # holds a min-1 actor and the read/filter/write task operators need at
-    # least one schedulable CPU, or a unioned plan deadlocks on tiny clusters
-    return max(2, min((n * 3) // 4, n - 3))
+    # least one schedulable CPU, or a unioned plan deadlocks on tiny clusters.
+    # The cap only binds at n <= 8/3*2: above that 3n/4 already leaves room,
+    # keeping the pool CPU-proportional across scaling levels.
+    return max(2, min((n * 3) // 4, n - 2))
 
 
 def _branches(source, cfg: ExtractConfig):
