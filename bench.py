@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "near_dedup_resolve", "embedding_dup_pairs", "embedding_dup_lsh",
     "knn_cosine", "knn_ivf", "events_tumbling", "events_sliding", "sessions",
     "distinct_users", "lineitem_agg", "orders_by_segment", "nation_region_counts",
+    # round 2 additions
+    "customer_order_nations", "events_before_order", "span_positions",
+    "table_cells", "page_layout",
 ]
 
 

@@ -24,6 +24,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="local session size; omit on a cluster (uses address=auto)")
     p.add_argument("--address", default="local")
     p.add_argument("--content-hash", action="store_true")
+    p.add_argument("--first-span", type=int, default=None,
+                   help="SPEC §6c inclusive span-range start (F3 analog)")
+    p.add_argument("--last-span", type=int, default=None)
+    p.add_argument("--media-format", default="synth-z",
+                   help="media re-encode container (synth-z | synth-raw)")
+    p.add_argument("--media-quality", type=int, default=9)
+    p.add_argument("--no-layout", action="store_true",
+                   help="skip the §6b spans_meta (positions/hierarchy) column")
     args = p.parse_args(argv)
 
     import ray
@@ -45,7 +53,11 @@ def main(argv: list[str] | None = None) -> int:
         args.input,
         args.output,
         ExtractConfig(split_threshold=args.split_threshold,
-                      chunk_size=args.chunk_size),
+                      chunk_size=args.chunk_size,
+                      first_span=args.first_span, last_span=args.last_span,
+                      media_format=args.media_format,
+                      media_quality=args.media_quality,
+                      emit_layout=not args.no_layout),
         n_waves=args.waves,
         compute_hash=args.content_hash,
     )
