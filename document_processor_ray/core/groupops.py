@@ -10,8 +10,7 @@ partition inside one function call. Same exactness, O(n_parts) groups.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -20,8 +19,12 @@ import ray.data as rd
 PART_COL = "__part"
 
 
-def _stable_part(vals: list, n_parts: int) -> list[int]:
-    return [zlib.crc32(str(v).encode()) % n_parts for v in vals]
+def _stable_part(batch: pa.Table, key_cols: list[str], n_parts: int) -> np.ndarray:
+    """Vectorized process-independent partition ids: pandas' stable row hash
+    (fixed-key siphash, cython) over the key columns — no per-row Python loop."""
+    df = pd.DataFrame({c: batch[c].to_pandas() for c in key_cols})
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return (h % np.uint64(n_parts)).astype(np.int32)
 
 
 def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
@@ -33,11 +36,8 @@ def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
     def add_part(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column(PART_COL, pa.array([], pa.int32()))
-        key = b[key_cols[0]].to_pylist()
-        if len(key_cols) > 1:
-            for c in key_cols[1:]:
-                key = [f"{k}\x1f{v}" for k, v in zip(key, b[c].to_pylist())]
-        return b.append_column(PART_COL, pa.array(_stable_part(key, n_parts), pa.int32()))
+        return b.append_column(
+            PART_COL, pa.array(_stable_part(b, key_cols, n_parts)))
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         out = fn(g.drop(columns=[PART_COL]))
