@@ -133,18 +133,40 @@ class MinHashSigner:
 
 
 def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    out_id, out_band, out_bh, out_sig = [], [], [], []
-    for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        s = np.frombuffer(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = s[b * rows : (b + 1) * rows].tobytes()
-            out_id.append(did)
-            out_band.append(b)
-            out_bh.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
-            out_sig.append(sig)
+    """Vectorized band explode: per-band bucket keys from a polynomial mix +
+    splitmix64 finalizer over the signature rows (numpy, no per-row Python, no
+    cryptographic hashing) — equal band chunks map to equal keys always, so
+    LSH bucketing semantics are identical to a crypto hash (collisions only
+    ever ADD candidates, which the signature-agreement filter then scores).
+    Keys ship as int64 (8 B) instead of hex strings (16 B) on the shuffle."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         "sig": pa.array([], pa.binary())})
+    doc_col = batch["doc_id"]
+    sig_col = batch["sig"]
+    if isinstance(doc_col, pa.ChunkedArray):
+        doc_col = doc_col.combine_chunks()
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_col.to_pylist()])
+    chunks = mat.reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = acc * MinHashSigner._C1 + chunks[:, :, r]
+    acc ^= acc >> np.uint64(30)
+    acc *= np.uint64(0xBF58476D1CE4E5B9)
+    acc ^= acc >> np.uint64(27)
+    acc *= np.uint64(0x94D049BB133111EB)
+    acc ^= acc >> np.uint64(31)
+    idx = pa.array(np.repeat(np.arange(n), bands))
     return pa.table({
-        "doc_id": pa.array(out_id), "band": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_bh, pa.string()), "sig": pa.array(out_sig, pa.binary()),
+        "doc_id": doc_col.take(idx),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(acc.reshape(-1).view(np.int64)),
+        "sig": sig_col.take(idx),
     })
 
 
@@ -232,14 +254,23 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 3, text_col: str = "text
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, bands, keys, hs = [], [], [], []
-        for did, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(did); bands.append(b)
-                keys.append((h >> (16 * b)) & 0xFFFF); hs.append(h)
-        return pa.table({"doc_id": pa.array(ids), "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int32()),
-                         "simhash": pa.array(hs, pa.uint64())})
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int32()),
+                             "simhash": pa.array([], pa.uint64())})
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        keys = ((h[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int32)
+        idx = pa.array(np.repeat(np.arange(n), 4))
+        return pa.table({"doc_id": doc_col.take(idx),
+                         "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                         "key": pa.array(keys.reshape(-1)),
+                         "simhash": pa.array(np.repeat(h, 4))})
 
     from ..core.groupops import grouped_reduce
 
