@@ -707,36 +707,55 @@ def q_near_dedup_resolve(sf_dir):
 def q_html_strip_stats(sf_dir):
     """Standalone HTML boilerplate-strip stage over the interleaved corpus:
     per html doc, spans kept vs dropped by the anchor-density rule."""
+    from ..core.schema import MEDIA_KINDS
     from ..functions import text_clean as tc
+    from ..stages.sniff import _segment_any, list_offsets
 
     corpus = _interleaved_corpus(sf_dir)
+    media_arr = pa.array(sorted(MEDIA_KINDS))
 
     def stats(b: pa.Table) -> pa.Table:
-        ids, kept, dropped = [], [], []
-        for did, spans in zip(b["doc_id"].to_pylist(), b["spans"].to_pylist()):
-            spans = spans or []
-            if not any(tc.looks_like_html(s["text"]) for s in spans):
-                continue
-            k = d = 0
-            for s in spans:
-                if s["kind"] in ("table", "picture", "formula", "code"):
-                    k += 1
-                    continue
-                if s["kind"] == "boilerplate":
-                    d += 1
-                    continue
-                vis = tc.visible_text(s["text"])
-                t = tc.word_count(vis)
-                na = tc.word_count(tc.visible_text(tc.strip_anchors(s["text"])))
-                if (t == 0 or 2 * (t - na) >= t
-                        or (t <= 2 and 5 * len(tc.clean_text(vis)) < len(s["text"]))):
-                    d += 1
-                else:
-                    k += 1
-            ids.append(did); kept.append(k); dropped.append(d)
-        return pa.table({"doc_id": pa.array(ids, pa.string()),
-                         "n_kept": pa.array(kept, pa.int32()),
-                         "n_dropped": pa.array(dropped, pa.int32())})
+        """Fully vectorized over the flattened span child: RE2 kernels for the
+        anchor/text-density rules, segment sums per doc (no per-row loops)."""
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        values, offs = list_offsets(spans)
+        texts = values.field("text")
+        kinds = values.field("kind")
+        n_child = len(values)
+        if n_child == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int32()),
+                             "n_dropped": pa.array([], pa.int32())})
+        html_flags = tc.looks_like_html_arr(texts).to_numpy(zero_copy_only=False)
+        html_flags = np.where(np.equal(html_flags, None), False, html_flags).astype(bool)
+        doc_is_html = _segment_any(html_flags, offs)
+        is_media = pc.is_in(kinds, value_set=media_arr).to_numpy(zero_copy_only=False)
+        is_boiler = pc.equal(kinds, "boilerplate").to_numpy(zero_copy_only=False)
+        vis = tc.visible_text_arr(texts)
+        t = tc.word_count_arr(vis).to_numpy(zero_copy_only=False).astype(np.int64)
+        na = tc.word_count_arr(tc.visible_text_arr(tc.strip_anchors_arr(texts))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        clean_len = pc.utf8_length(tc.clean_text_arr(vis)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        raw_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        drop_rule = ((t == 0) | (2 * (t - na) >= t)
+                     | ((t <= 2) & (5 * clean_len < raw_len)))
+        text_like = ~is_media & ~is_boiler
+        kept = (is_media | (text_like & ~drop_rule)).astype(np.int64)
+        dropped = (is_boiler | (text_like & drop_rule)).astype(np.int64)
+        ck = np.concatenate([[0], np.cumsum(kept)])
+        cd = np.concatenate([[0], np.cumsum(dropped)])
+        n_kept = (ck[offs[1:]] - ck[offs[:-1]]).astype(np.int32)
+        n_dropped = (cd[offs[1:]] - cd[offs[:-1]]).astype(np.int32)
+        sel = np.flatnonzero(doc_is_html)
+        doc_id = b["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.table({"doc_id": doc_id.take(pa.array(sel)),
+                         "n_kept": pa.array(n_kept[sel]),
+                         "n_dropped": pa.array(n_dropped[sel])})
 
     return corpus.map_batches(stats, batch_format="pyarrow")
 
