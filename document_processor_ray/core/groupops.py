@@ -39,10 +39,53 @@ def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
         return b.append_column(
             PART_COL, pa.array(_stable_part(b, key_cols, n_parts)))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        out = fn(g.drop(columns=[PART_COL]))
-        return out
+    if batch_format == "pyarrow":
+        def run(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns([PART_COL]))
+    else:
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            return fn(g.drop(columns=[PART_COL]))
 
     return ds.map_batches(add_part, batch_format="pyarrow").groupby(PART_COL).map_groups(
         run, batch_format=batch_format
     )
+
+
+def anti_join_ids(ds: rd.Dataset, ids: rd.Dataset, id_col: str,
+                  ids_col: str = "id", n_parts: int = 64) -> rd.Dataset:
+    """Distributed anti-join: rows of ``ds`` whose ``id_col`` does NOT appear in
+    ``ids`` — the scale path when the exclusion set is too large to broadcast.
+    Both sides co-partition on the key (tagged union + one coarse shuffle); the
+    per-partition filter is Arrow-native (``pc.is_in``), so arbitrary payload
+    column types (lists, binaries) survive untouched — no pandas round-trip."""
+    import pyarrow.compute as pc
+
+    sch = ds.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    names = list(sch.names)
+    types = dict(zip(sch.names, sch.types))
+    SRC, JKEY = "__src", "__jkey"
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in names}
+        cols[JKEY] = pc.cast(b[id_col], pa.string())
+        cols[SRC] = pa.array(["l"] * len(b))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(b.num_rows, types[c]) for c in names}
+        cols[JKEY] = pc.cast(b[ids_col], pa.string())
+        cols[SRC] = pa.array(["r"] * len(b))
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        ids.map_batches(tag_right, batch_format="pyarrow"))
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        src = t[SRC]
+        left = t.filter(pc.equal(src, "l"))
+        right_keys = t.filter(pc.equal(src, "r"))[JKEY].combine_chunks()
+        keep = pc.invert(pc.is_in(left[JKEY], value_set=right_keys))
+        return left.filter(keep).drop_columns([JKEY, SRC])
+
+    return grouped_reduce(tagged, [JKEY], part_filter, n_parts=n_parts,
+                          batch_format="pyarrow")

@@ -439,25 +439,51 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
     return labels.map_batches(decode, batch_format="pyarrow")
 
 
+def _drop_nodes(clusters: rd.Dataset) -> rd.Dataset:
+    """(node, cluster) → the non-representative nodes (node != cluster)."""
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(pc.cast(b["node"], pa.string()),
+                                  pc.cast(b["cluster"], pa.string())))
+        return pa.table({"node": b["node"]}).filter(keep)
+
+    return clusters.map_batches(f, batch_format="pyarrow")
+
+
 def dedup_resolve(ds: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id",
-                  n_iters: int = 5) -> rd.Dataset:
+                  n_iters: int = 64) -> rd.Dataset:
     """End-to-end near-dedup: keep one representative (min id) per cluster.
-    The (small) drop-set is broadcast; the corpus streams through a filter."""
+    The (small) drop-set is broadcast; the corpus streams through a vectorized
+    ``pc.is_in`` filter. Use ``dedup_resolve_bucketed`` when the drop-set
+    itself is too large to broadcast (very high duplicate rates at corpus
+    scale)."""
+    import pyarrow.compute as pc
+
     clusters = dedup_clusters(pairs, n_iters)
-    drop = set()
-    for row in clusters.take_all():
-        if row["node"] != row["cluster"]:
-            drop.add(row["node"])
-    ref = ray.put(drop)
+    drop = [row["node"] for row in _drop_nodes(clusters).take_all()]
+    ref = ray.put(pa.array(sorted(map(str, drop))))
 
     def keep(b: pa.Table) -> pa.Table:
         d = ray.get(ref)
-        import pyarrow.compute as pc
-
-        mask = pa.array([v not in d for v in b[id_col].to_pylist()])
+        mask = pc.invert(pc.is_in(pc.cast(b[id_col], pa.string()), value_set=d))
         return b.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_resolve_bucketed(ds: rd.Dataset, pairs: rd.Dataset,
+                           id_col: str = "doc_id", n_iters: int = 64,
+                           n_parts: int = 64) -> rd.Dataset:
+    """Scale path of ``dedup_resolve``: the drop-set stays distributed and the
+    corpus anti-joins against it by co-partitioned key (one coarse shuffle,
+    Arrow-native per-partition ``is_in`` — list/binary payload columns survive
+    untouched). Identical rows to the broadcast variant."""
+    from ..core.groupops import anti_join_ids
+
+    clusters = dedup_clusters(pairs, n_iters)
+    return anti_join_ids(ds, _drop_nodes(clusters), id_col, ids_col="node",
+                         n_parts=n_parts)
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,25 @@ def test_dedup_resolve_keeps_representatives():
     kept = sorted(r["doc_id"] for r in dedup_resolve(docs, pairs).take_all())
     # drop 2,5 (cluster of 1) and 8 (cluster of 7)
     assert kept == [0, 1, 3, 4, 6, 7, 9, 10, 11]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_resolve_bucketed_matches_broadcast():
+    """The co-partitioned anti-join scale path returns exactly the broadcast
+    variant's rows — including non-scalar payload columns surviving the
+    shuffle untouched."""
+    from document_processor_ray.functions.dedup import dedup_resolve_bucketed
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": f"t{i}", "tags": [f"x{i}", "y"],
+         "blob": bytes([i % 251]) * 3}
+        for i in range(40)
+    ])
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 5}, {"a": 7, "b": 8},
+                           {"a": 30, "b": 31}, {"a": 31, "b": 39}])
+    want = {r["doc_id"]: (r["text"], tuple(r["tags"]), bytes(r["blob"]))
+            for r in dedup_resolve(docs, pairs).take_all()}
+    got = {r["doc_id"]: (r["text"], tuple(r["tags"]), bytes(r["blob"]))
+           for r in dedup_resolve_bucketed(docs, pairs).take_all()}
+    assert got == want
+    assert 2 not in got and 39 not in got and 1 in got and 30 in got
