@@ -67,3 +67,40 @@ def test_layout_rules_unit():
     spans = [{"kind": "text", "text": "x" * 200, "media_ref": "", "offset": 0}]
     m = oracle.layout_of(spans)[0]
     assert m["b"] - m["t"] == 42.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_KINDS = ["title", "section_header", "paragraph", "text", "list_item",
+          "picture", "table", "formula", "code", "weird_kind"]
+_span_seq = st.lists(
+    st.tuples(st.sampled_from(_KINDS), st.integers(0, 400)), max_size=60
+).map(lambda ts: [{"kind": k, "text": "x" * n, "media_ref": "", "offset": i}
+                  for i, (k, n) in enumerate(ts)])
+
+
+@settings(max_examples=200, deadline=None)
+@given(_span_seq)
+def test_layout_invariants(spans):
+    """SPEC §6b invariants under arbitrary span sequences (pipeline parity with
+    the oracle is covered above; this fuzzes the oracle's own rules)."""
+    metas = oracle.layout_of(spans)
+    assert len(metas) == len(spans)
+    by_ref = {m["ref"]: m for m in metas}
+    prev_page, seen = 1, set()
+    for s, m in zip(spans, metas):
+        assert m["b"] > m["t"] >= 72.0 and m["l"] == 72.0 and m["r"] == 540.0
+        assert m["page_no"] >= prev_page  # pages never go backwards
+        prev_page = m["page_no"]
+        # a span starting below the top must have fit the page when placed,
+        # unless it is taller than a full page (then it overflows in place)
+        if m["t"] > 72.0:
+            assert m["b"] <= 720.0 or (m["b"] - m["t"]) > 648.0
+        # hierarchy: parent is root or an earlier span; level = parent+1
+        if m["parent_ref"] == "#/":
+            assert m["level"] == 1 if s["kind"] == "title" else m["level"] >= 1
+        else:
+            assert m["parent_ref"] in seen
+            assert m["level"] == by_ref[m["parent_ref"]]["level"] + 1
+        seen.add(m["ref"])
