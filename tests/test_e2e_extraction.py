@@ -122,6 +122,35 @@ def test_media_table_matches_span_refs(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_e2e_sf01_flagship_equality():
+    """VERDICT r1 #8 closure: the flagship query path (streamed corpus
+    derivation + both branches) at sf0.1 scale, full span-sequence equality
+    vs the oracle over every derived document."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("driver testdata sf0.1 not present")
+    from document_processor_ray.data.synth import corpus_from_flat
+    from document_processor_ray.pipelines.queries import _interleaved_corpus
+
+    out = build_extraction(
+        _interleaved_corpus(sf_dir),
+        ExtractConfig(split_threshold=500, chunk_size=200),
+    ).take_all()
+    flat = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    corpus = corpus_from_flat(flat, seed=42)
+    expected = {r["doc_id"]: oracle.extract_doc(r) for r in corpus.to_pylist()}
+    assert len(out) == len(expected)
+    got = _span_seqs(out)
+    want = _span_seqs(expected.values())
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_media_table_cells_match_oracle():
     """T6: the queryable cells_json column equals the oracle's independently
     cleaned cell matrix (str|int|null fidelity preserved via JSON)."""
