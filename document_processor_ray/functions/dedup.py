@@ -317,7 +317,12 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
     are deterministic and produce identical clusters."""
     from ..core.groupops import grouped_reduce
 
-    if pairs.count() <= driver_threshold:
+    # size probe that REUSES its rows: limit(threshold+1) executes the pair
+    # pipeline once and stops early; if the result fits under the threshold we
+    # already hold exactly the rows the driver path needs (a bare count() +
+    # take_all() would execute the whole upstream pipeline twice)
+    probe = pairs.select_columns(["a", "b"]).limit(driver_threshold + 1).take_all()
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -328,7 +333,7 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
                 parent[x], x = root, parent[x]
             return root
 
-        rows_ab = pairs.select_columns(["a", "b"]).take_all()
+        rows_ab = probe
         for r in rows_ab:
             ra, rb = find(r["a"]), find(r["b"])
             if ra != rb:
