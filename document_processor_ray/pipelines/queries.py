@@ -760,6 +760,49 @@ def q_html_strip_stats(sf_dir):
     return corpus.map_batches(stats, batch_format="pyarrow")
 
 
+def q_jaccard_verify(sf_dir):
+    """Exact n-gram Jaccard verification of MinHash candidates via the bucketed
+    scale path (gram-set co-partitioned joins, no text broadcast)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    verified = dd.verify_pairs_exact_bucketed(pairs, docs, threshold=0.3)
+    return verified.select_columns(["a", "b", "jaccard"])
+
+
+def q_media_decode_stats(sf_dir):
+    """Multimodal decode stage over the flagship corpus payload column:
+    per-(content_type, ok) counts and size envelope."""
+    from ..stages.multimodal import media_table_from_corpus
+
+    meta = media_table_from_corpus(_interleaved_corpus(sf_dir))
+    return _cast_int64(
+        meta.groupby(["content_type", "ok"]).aggregate(
+            Count(alias_name="n_media"),
+            Min("n_bytes", alias_name="min_bytes"),
+            Max("n_bytes", alias_name="max_bytes")),
+        ["min_bytes", "max_bytes"],
+    )
+
+
+def q_frame_sample(sf_dir):
+    """Frame-sampling stage: every 2nd 'frame' of table payloads (the synth
+    video analog), content-addressed frame refs."""
+    from ..stages.multimodal import FrameSample
+
+    def explode(b: pa.Table) -> pa.Table:
+        refs, datas = [], []
+        for plist in b["payloads"].to_pylist():
+            for p in plist or []:
+                refs.append(p["media_ref"]); datas.append(p["data"])
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "data": pa.array(datas, pa.large_binary())})
+
+    flat = _interleaved_corpus(sf_dir).map_batches(
+        explode, batch_format="pyarrow", batch_size=64)
+    return flat.map_batches(FrameSample, batch_format="pyarrow", batch_size=64,
+                            concurrency=(1, 4))
+
+
 def q_approx_distinct_users(sf_dir):
     """HLL sketch count-distinct (mergeable-sketch pattern); single-row result."""
     from ..functions.sketch import approx_distinct
@@ -832,4 +875,7 @@ QUERIES = {
     "span_positions": (q_span_positions, None),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
     "table_cells": (q_table_cells, None),
+    "jaccard_verify": (q_jaccard_verify, None),
+    "media_decode_stats": (q_media_decode_stats, None),
+    "frame_sample": (q_frame_sample, None),
 }
