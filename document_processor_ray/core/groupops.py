@@ -51,6 +51,55 @@ def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
     )
 
 
+def lookup_join(ds: rd.Dataset, kv: rd.Dataset, key_col: str, kv_key: str,
+                kv_val: str, out_col: str | None = None,
+                n_parts: int = 64) -> rd.Dataset:
+    """Distributed inner lookup join: append ``kv``'s value column to every row
+    of ``ds`` whose key matches (rows without a match are dropped). Both sides
+    co-partition on the key via ONE coarse shuffle (tagged union); the
+    per-partition probe is Arrow-native ``pc.index_in`` + ``take``, so payload
+    columns of any type (binary, lists) survive without a pandas round-trip.
+    ``kv`` keys must be unique (first match wins otherwise)."""
+    import pyarrow.compute as pc
+
+    out_col = out_col or kv_val
+    sch = ds.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    names = list(sch.names)
+    types = dict(zip(sch.names, sch.types))
+    kv_sch = kv.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    val_type = dict(zip(kv_sch.names, kv_sch.types))[kv_val]
+    SRC, JKEY, VAL = "__src", "__jkey", "__val"
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in names}
+        cols[JKEY] = pc.cast(b[key_col], pa.string())
+        cols[VAL] = pa.nulls(b.num_rows, val_type)
+        cols[SRC] = pa.array(["l"] * len(b))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(b.num_rows, types[c]) for c in names}
+        cols[JKEY] = pc.cast(b[kv_key], pa.string())
+        cols[VAL] = b[kv_val]
+        cols[SRC] = pa.array(["r"] * len(b))
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_left, batch_format="pyarrow").union(
+        kv.map_batches(tag_right, batch_format="pyarrow"))
+
+    def part_probe(t: pa.Table) -> pa.Table:
+        src = t[SRC]
+        left = t.filter(pc.equal(src, "l"))
+        right = t.filter(pc.equal(src, "r"))
+        idx = pc.index_in(left[JKEY], value_set=right[JKEY].combine_chunks())
+        vals = right[VAL].combine_chunks().take(idx)
+        out = pa.table({c: left[c] for c in names}).append_column(out_col, vals)
+        return out.filter(pc.is_valid(idx))
+
+    return grouped_reduce(tagged, [JKEY], part_probe, n_parts=n_parts,
+                          batch_format="pyarrow")
+
+
 def anti_join_ids(ds: rd.Dataset, ids: rd.Dataset, id_col: str,
                   ids_col: str = "id", n_parts: int = 64) -> rd.Dataset:
     """Distributed anti-join: rows of ``ds`` whose ``id_col`` does NOT appear in

@@ -542,78 +542,18 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
             blobs.append(h.tobytes())
         return pa.table({"gid": b[id_col], "grams": pa.array(blobs, pa.binary())})
 
+    from ..core.groupops import lookup_join
+
     grams = docs.map_batches(gramset, batch_format="pyarrow").materialize()
 
-    # ids travel as sortable strings end-to-end: pandas merges against
-    # tagged-null columns coerce ints to float64 and silently split partition
-    # keys (3 vs 3.0) — same failure mode as dedup_clusters
-    sch0 = pairs.schema()
-    a_t = dict(zip(sch0.names, sch0.types))["a"]
-    int_ids = (pa.types.is_integer(a_t) if isinstance(a_t, pa.DataType)
-               else np.issubdtype(np.dtype(a_t), np.integer))
-
-    def enc_tbl(b: pa.Table) -> pa.Table:
-        if not int_ids:
-            return b.select(["a", "b"])
-        return pa.table({
-            "a": pa.array([f"{v:020d}" for v in b["a"].to_pylist()]),
-            "b": pa.array([f"{v:020d}" for v in b["b"].to_pylist()]),
-        })
-
-    def enc_grams(b: pa.Table) -> pa.Table:
-        if not int_ids:
-            return b
-        return pa.table({"gid": pa.array([f"{v:020d}" for v in b["gid"].to_pylist()]),
-                         "grams": b["grams"]})
-
-    grams = grams.map_batches(enc_grams, batch_format="pyarrow")
-
-    def attach(side: str, pairs_ds: rd.Dataset) -> rd.Dataset:
-        """Co-partition pairs (keyed by `side`) with gram sets; append grams_<side>."""
-        # normalize to arrow blocks so schema() reports true arrow types
-        # (pandas-block object dtype is untranslatable for binary columns)
-        pairs_ds = pairs_ds.map_batches(lambda t: t, batch_format="pyarrow")
-        sch = pairs_ds.schema()
-        prev = list(sch.names)
-        prev_types = {}
-        for name, t in zip(sch.names, sch.types):
-            if isinstance(t, pa.DataType):
-                prev_types[name] = t
-            else:
-                try:
-                    prev_types[name] = pa.from_numpy_dtype(np.dtype(t))
-                except Exception:
-                    prev_types[name] = pa.binary() if name.startswith("grams") else pa.string()
-
-        def tag_pairs(b: pa.Table) -> pa.Table:
-            cols = {c: b[c] for c in prev}
-            cols["jkey"] = b[side]
-            cols["grams"] = pa.array([b""] * len(b), pa.binary())
-            cols["srcx"] = pa.array(["p"] * len(b))
-            return pa.table(cols)
-
-        def tag_grams(b: pa.Table) -> pa.Table:
-            cols = {c: _null_like(b.num_rows, c) for c in prev}
-            cols["jkey"] = b["gid"]
-            cols["grams"] = b["grams"]
-            cols["srcx"] = pa.array(["g"] * len(b))
-            return pa.table(cols)
-
-        def _null_like(nrows, colname):
-            return pa.nulls(nrows, prev_types[colname])
-
-        def part_join(g: pd.DataFrame) -> pd.DataFrame:
-            gr = g[g.srcx == "g"][["jkey", "grams"]].rename(
-                columns={"grams": f"grams_{side}"})
-            pr = g[g.srcx == "p"].drop(columns=["grams", "srcx"])
-            return pr.merge(gr, on="jkey").drop(columns=["jkey"])
-
-        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-            grams.map_batches(tag_grams, batch_format="pyarrow"))
-        return grouped_reduce(tagged, ["jkey"], part_join)
-
-    with_a = attach("a", pairs.map_batches(enc_tbl, batch_format="pyarrow"))
-    with_ab = attach("b", with_a)
+    # two co-partitioned Arrow-native lookup joins pick up each side's gram
+    # set; original id dtypes pass through untouched (the join key is
+    # string-cast only inside lookup_join — no sortable-string round-trip)
+    with_a = lookup_join(pairs.select_columns(["a", "b"]), grams,
+                         key_col="a", kv_key="gid", kv_val="grams",
+                         out_col="grams_a")
+    with_ab = lookup_join(with_a, grams, key_col="b", kv_key="gid",
+                          kv_val="grams", out_col="grams_b")
 
     def score(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2
@@ -626,12 +566,7 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
                 js.append(1.0)
                 continue
             js.append(round(len(sa & sb) / max(1, len(sa | sb)), 6))
-        if int_ids:
-            a_col = pa.array([int(v) for v in b["a"].to_pylist()], pa.int64())
-            b_col = pa.array([int(v) for v in b["b"].to_pylist()], pa.int64())
-        else:
-            a_col, b_col = b["a"], b["b"]
-        out = pa.table({"a": a_col, "b": b_col,
+        out = pa.table({"a": b["a"], "b": b["b"],
                         "jaccard": pa.array(js, pa.float64())})
         return out.filter(pc2.greater_equal(out["jaccard"], threshold))
 
