@@ -1,0 +1,65 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Membership is a pure function of a key's md5 — stable across runs, machines,
+and engines, so samples are reproducible and train/valid/test splits never
+leak rows between sets even when the corpus is re-partitioned or re-read.
+md5 (not blake2b) is deliberate: DuckDB's ``md5()`` produces the identical
+lowercase hex, which makes every operator here SQL-hash-checkable. Comparing
+the first two hex chars lexicographically equals comparing the first digest
+byte numerically, so a threshold of k keeps k/256 of the keys.
+
+At 100 TB these run as stateless ``map_batches`` filters — no shuffle, no
+coordination; the only per-row cost is one md5 of the key (the price of
+cross-engine determinism; swap in a vectorized hash if oracle parity is not
+required).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _key_bytes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """First md5 digest byte per key (key stringified like SQL's CAST)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.array([hashlib.md5(str(v).encode()).digest()[0]
+                     for v in col.to_pylist()], dtype=np.uint16)
+
+
+def deterministic_sample(ds: rd.Dataset, key_col: str,
+                         keep_bytes: int = 26) -> rd.Dataset:
+    """Keep rows whose key hashes into the first ``keep_bytes`` of 256 buckets
+    (keep_bytes=26 ≈ a 10.16% sample). SQL mirror:
+    ``WHERE substr(md5(CAST(key AS VARCHAR)), 1, 2) < '<hex(keep_bytes)>'``."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_key_bytes(b[key_col]) < keep_bytes))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def deterministic_split(ds: rd.Dataset, key_col: str,
+                        splits: dict[str, int] | None = None,
+                        out_col: str = "split") -> rd.Dataset:
+    """Append a split label from cumulative byte ranges (values sum to ≤ 256;
+    any remainder falls into the last split). Default 95/2.5/2.5-ish:
+    train=243, valid=6, test=7."""
+    splits = splits or {"train": 243, "valid": 6, "test": 7}
+    names = list(splits.keys())
+    bounds = np.cumsum([splits[n] for n in names])
+    if bounds[-1] > 256:
+        raise ValueError("split byte widths sum past 256")
+    bounds[-1] = 256  # remainder → last split
+
+    def f(b: pa.Table) -> pa.Table:
+        idx = np.searchsorted(bounds, _key_bytes(b[key_col]), side="right")
+        lab = np.array(names, dtype=object)[np.minimum(idx, len(names) - 1)]
+        return b.append_column(out_col, pa.array(lab.tolist(), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

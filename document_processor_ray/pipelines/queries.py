@@ -541,6 +541,40 @@ FROM orders o
 """
 
 
+def q_sample_orders(sf_dir):
+    """Deterministic ~10% hash sample (training-data reproducible-sample op):
+    stateless filter, no shuffle; membership = first md5 byte of the key."""
+    from ..functions.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_orderkey", keep_bytes=26)
+
+
+SQL_SAMPLE_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+def q_split_counts(sf_dir):
+    """Deterministic train/valid/test split assignment (leak-proof under any
+    repartitioning), aggregated to per-split counts."""
+    from ..functions.sampling import deterministic_split
+
+    ds = deterministic_split(_t(sf_dir, "orders", ["o_orderkey"]), "o_orderkey")
+    return ds.groupby("split").aggregate(Count(alias_name="n_rows"))
+
+
+SQL_SPLIT_COUNTS = """
+SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'f3' THEN 'train'
+            WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < 'f9' THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_rows
+FROM orders GROUP BY 1
+"""
+
+
 def q_median_price_by_segment(sf_dir):
     """Grouped median via per-group pandas (exact order statistic; the (a+b)/2
     interpolation for even counts is bit-identical in pandas and DuckDB)."""
@@ -870,6 +904,8 @@ QUERIES = {
     "customer_order_nations": (q_customer_order_nations, SQL_CUSTOMER_ORDER_NATIONS),
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
+    "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
+    "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
     "span_positions": (q_span_positions, None),

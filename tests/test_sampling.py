@@ -1,0 +1,42 @@
+"""Deterministic hash sampling / split operators."""
+
+from __future__ import annotations
+
+import pytest
+
+import ray.data as rd
+
+from document_processor_ray.functions.sampling import (deterministic_sample,
+                                                       deterministic_split)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_deterministic_and_subset_monotone():
+    ds1 = rd.from_items([{"k": i} for i in range(2000)])
+    ds2 = rd.from_items([{"k": i} for i in range(2000)])
+    s10 = {r["k"] for r in deterministic_sample(ds1, "k", keep_bytes=26).take_all()}
+    s10b = {r["k"] for r in deterministic_sample(ds2, "k", keep_bytes=26).take_all()}
+    assert s10 == s10b  # run-independent
+    assert 0.06 < len(s10) / 2000 < 0.15
+    # larger rate strictly contains the smaller (nested samples)
+    s20 = {r["k"] for r in deterministic_sample(ds1, "k", keep_bytes=52).take_all()}
+    assert s10 <= s20
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_partitions_every_row_once():
+    ds = rd.from_items([{"k": f"doc{i}"} for i in range(3000)])
+    rows = deterministic_split(ds, "k").take_all()
+    assert len(rows) == 3000
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["k"])
+    assert set(by) == {"train", "valid", "test"}
+    assert sum(len(v) for v in by.values()) == 3000
+    assert len(by["train"]) > 0.9 * 3000
+    # re-partitioned input assigns identical labels (leak-proof)
+    rows2 = deterministic_split(ds.repartition(7), "k").take_all()
+    assert {r["k"]: r["split"] for r in rows2} == {r["k"]: r["split"] for r in rows}
+
+    with pytest.raises(ValueError):
+        deterministic_split(ds, "k", splits={"a": 200, "b": 100})
