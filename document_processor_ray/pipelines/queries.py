@@ -541,6 +541,50 @@ FROM orders o
 """
 
 
+def q_top_orders_per_segment(sf_dir):
+    """Grouped top-k (windowed rank analog): top-3 orders by price per market
+    segment. Pre-aggregation pattern: each batch keeps only its own per-segment
+    top-3 (vectorized pandas sort+head), so the final tiny 5-group reduce sees
+    at most 3×batches rows — never a global sort."""
+    import pandas as pd
+
+    ref = _broadcast_cols(sf_dir, "customer", "c_custkey", "c_mktsegment")
+    k = 3
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pa.table({"c_mktsegment": _probe_cols(ref, b["o_custkey"]),
+                       "o_orderkey": b["o_orderkey"],
+                       "o_totalprice": b["o_totalprice"]}).to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("c_mktsegment", sort=False).head(k),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (_t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .map_groups(final, batch_format="pandas"))
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM j)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_sample_orders(sf_dir):
     """Deterministic ~10% hash sample (training-data reproducible-sample op):
     stateless filter, no shuffle; membership = first md5 byte of the key."""
@@ -905,6 +949,7 @@ QUERIES = {
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
+    "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
