@@ -194,11 +194,20 @@ def q_fingerprint(sf_dir):
 
 
 def _first_queries(sf_dir, n=10):
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    order = pc.sort_indices(tbl["vec_id"])[:n]
-    qids = pc.take(tbl["vec_id"], order).to_pylist()
-    qvecs = np.array(pc.take(tbl["embedding"], order).to_pylist(), dtype=np.float64)
+    """The n lowest-id query vectors, selected scale-safe: every batch keeps
+    only its own n lowest-id rows (partial bottom-k inside map_batches), then a
+    sort+limit over the tiny partial set — the embeddings table is never read
+    onto the driver (the previous version materialized both full columns
+    driver-side, the OOM pattern at 100x)."""
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bottom(b: pa.Table) -> pa.Table:
+        return b.take(pc.sort_indices(b["vec_id"])[:n])
+
+    rows = (ds.map_batches(bottom, batch_format="pyarrow")
+            .sort("vec_id").limit(n).take_all())
+    qids = [r["vec_id"] for r in rows]
+    qvecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
     return qvecs, qids
 
 
