@@ -379,21 +379,28 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
     def _label_sig(lab: rd.Dataset) -> int:
         """Order-insensitive signature of the (node, label) multiset: sum of
         per-row 64-bit hashes, computed distributed (one tiny aggregate — no
-        driver materialization of the label table)."""
+        driver materialization of the label table). The per-row hash is
+        ``pd.util.hash_pandas_object`` (vectorized, process-independent with
+        the default hash key — same recipe as groupops._stable_part), not
+        per-row Python blake2b: the label table scales with the corpus at high
+        duplicate rates, so the convergence check itself must be vectorized."""
 
         def row_hashes(b: pa.Table) -> pa.Table:
-            hs = [int.from_bytes(
-                      hashlib.blake2b(f"{n}\x1f{l}".encode(), digest_size=8).digest(),
-                      "little") >> 1
-                  for n, l in zip(b["node"].to_pylist(), b["label"].to_pylist())]
-            return pa.table({"h": pa.array(hs, pa.int64())})
+            s = (pd.Series(b["node"].to_pandas(), dtype="string") + "\x1f"
+                 + pd.Series(b["label"].to_pandas(), dtype="string"))
+            h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+            return pa.table({"h": pa.array((h >> 1).astype(np.int64))})
 
         return lab.map_batches(row_hashes, batch_format="pyarrow").sum("h") or 0
 
     labels = grouped_reduce(labels, ["node"], min_label).materialize()
     sig = _label_sig(labels)
     converged = False
-    for _ in range(n_iters):
+    # n_iters + 1 rounds: a component whose propagation finishes exactly at
+    # round n_iters needs one extra quiescent round to OBSERVE the unchanged
+    # signature — the cap bounds rounds that still change labels, not the
+    # final observation (and n_iters=0 on already-converged input succeeds).
+    for _ in range(n_iters + 1):
         # neighbor labels via an explicit partitioned hash join (ray_guide
         # 'Joins and lookups'): tag both sides, co-partition on the join key,
         # pandas-merge inside each partition. (Dataset.join in ray 2.49 fails on
@@ -690,7 +697,12 @@ def embedding_dup_pairs_exact(ds: rd.Dataset, *, threshold: float = 0.98,
     zero-copy and matmuls them. Peak task memory = 2 blocks; the N²/B² task
     count is inherent to exactness — ``embedding_dup_pairs`` guards on row
     count and routes large inputs to the LSH path instead."""
-    blocks = ds.select_columns([id_col, vec_col]).materialize()
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(ds, MaterializedDataset) and set(ds.schema().names) == {id_col, vec_col}:
+        blocks = ds  # already the materialized (id, vec) projection — reuse it
+    else:
+        blocks = ds.select_columns([id_col, vec_col]).materialize()
     nonempty = blocks.to_arrow_refs()
     nb = len(nonempty)
     if nb == 0:
@@ -744,9 +756,13 @@ def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.98,
     (``embedding_dup_pairs_exact``); larger inputs route to hyperplane LSH
     (``embedding_dup_pairs_lsh``), whose recall/threshold knobs can be tuned
     via ``lsh_kwargs``. Nothing in either path materializes the table on the
-    driver."""
-    if ds.count() > exact_max_rows:
-        return embedding_dup_pairs_lsh(ds, threshold=threshold, id_col=id_col,
+    driver; the (id, vec) projection is materialized into the OBJECT STORE
+    exactly once — the row-count guard reads it from metadata and whichever
+    path is chosen reuses the same blocks (no double execution of a derived
+    upstream pipeline)."""
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    if proj.count() > exact_max_rows:  # metadata-cheap on a materialized ds
+        return embedding_dup_pairs_lsh(proj, threshold=threshold, id_col=id_col,
                                        vec_col=vec_col, **(lsh_kwargs or {}))
-    return embedding_dup_pairs_exact(ds, threshold=threshold, id_col=id_col,
+    return embedding_dup_pairs_exact(proj, threshold=threshold, id_col=id_col,
                                      vec_col=vec_col)

@@ -25,9 +25,22 @@ import ray.data as rd
 
 
 def _key_bytes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """First md5 digest byte per key (key stringified like SQL's CAST)."""
+    """First md5 digest byte per key (key stringified like SQL's CAST).
+
+    Only integer and string keys are supported: Python ``str()`` matches
+    DuckDB ``CAST(... AS VARCHAR)`` for exactly those types — float, date,
+    decimal or binary keys would silently produce different md5 inputs than
+    the SQL mirror and break the documented cross-engine hash guarantee, so
+    they raise instead."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    t = col.type
+    if not (pa.types.is_integer(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"deterministic sampling/split key must be an integer or string "
+            f"column (got {t}): str() of other types diverges from SQL "
+            f"CAST(... AS VARCHAR)")
     return np.array([hashlib.md5(str(v).encode()).digest()[0]
                      for v in col.to_pylist()], dtype=np.uint16)
 

@@ -96,8 +96,10 @@ def _pool(cfg: ExtractConfig):
     # holds a min-1 actor and the read/filter/write task operators need at
     # least one schedulable CPU, or a unioned plan deadlocks on tiny clusters.
     # The cap only binds at n <= 8/3*2: above that 3n/4 already leaves room,
-    # keeping the pool CPU-proportional across scaling levels.
-    return max(2, min((n * 3) // 4, n - 2))
+    # keeping the pool CPU-proportional across scaling levels. The floor is 1
+    # (not 2): a 3-CPU cluster must keep its n-2 headroom or the tiny-cluster
+    # starvation the cap exists to prevent comes back.
+    return max(1, min((n * 3) // 4, n - 2))
 
 
 def _branches(source, cfg: ExtractConfig):

@@ -874,18 +874,10 @@ def q_media_decode_stats(sf_dir):
 def q_frame_sample(sf_dir):
     """Frame-sampling stage: every 2nd 'frame' of table payloads (the synth
     video analog), content-addressed frame refs."""
-    from ..stages.multimodal import FrameSample
-
-    def explode(b: pa.Table) -> pa.Table:
-        refs, datas = [], []
-        for plist in b["payloads"].to_pylist():
-            for p in plist or []:
-                refs.append(p["media_ref"]); datas.append(p["data"])
-        return pa.table({"media_ref": pa.array(refs, pa.string()),
-                         "data": pa.array(datas, pa.large_binary())})
+    from ..stages.multimodal import FrameSample, explode_payloads
 
     flat = _interleaved_corpus(sf_dir).map_batches(
-        explode, batch_format="pyarrow", batch_size=64)
+        explode_payloads, batch_format="pyarrow", batch_size=64)
     return flat.map_batches(FrameSample, batch_format="pyarrow", batch_size=64,
                             concurrency=(1, 4))
 

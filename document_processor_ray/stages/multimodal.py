@@ -162,20 +162,25 @@ class FrameSample:
         })
 
 
+def explode_payloads(b: pa.Table) -> pa.Table:
+    """Vectorized payload explode: the list<struct> column's flat struct child,
+    zero-copy (no per-row to_pylist of binary blobs). Shared by
+    ``media_table_from_corpus`` and the frame-sample query."""
+    col = b["payloads"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten()
+    data = vals.field("data")
+    if not pa.types.is_large_binary(data.type):
+        data = data.cast(pa.large_binary())
+    return pa.table({"media_ref": vals.field("media_ref"), "data": data})
+
+
 def media_table_from_corpus(corpus_ds, concurrency=(1, 4), batch_size: int = 64):
     """(doc_id, payloads) → flat media table → decode stage. The explode keeps
     payloads as zero-copy binary scalars; batch_size stays small because rows
     are large."""
-
-    def explode(b: pa.Table) -> pa.Table:
-        refs, datas = [], []
-        for plist in b["payloads"].to_pylist():
-            for p in plist or []:
-                refs.append(p["media_ref"]); datas.append(p["data"])
-        return pa.table({"media_ref": pa.array(refs, pa.string()),
-                         "data": pa.array(datas, pa.large_binary())})
-
-    flat = corpus_ds.map_batches(explode, batch_format="pyarrow",
+    flat = corpus_ds.map_batches(explode_payloads, batch_format="pyarrow",
                                  batch_size=batch_size)
     return flat.map_batches(MediaDecode, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=concurrency)

@@ -40,3 +40,13 @@ def test_split_partitions_every_row_once():
 
     with pytest.raises(ValueError):
         deterministic_split(ds, "k", splits={"a": 200, "b": 100})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unsupported_key_dtype_raises():
+    # float keys stringify differently in Python vs SQL CAST — must raise, not
+    # silently break the cross-engine hash guarantee
+    ds = rd.from_items([{"k": 0.5 * i} for i in range(10)])
+    with pytest.raises(Exception) as ei:
+        deterministic_sample(ds, "k").take_all()
+    assert "integer or string" in str(ei.value)

@@ -130,3 +130,14 @@ def test_dedup_resolve_bucketed_matches_broadcast():
            for r in dedup_resolve_bucketed(docs, pairs).take_all()}
     assert got == want
     assert 2 not in got and 39 not in got and 1 in got and 30 in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_converges_at_exact_iteration_cap():
+    # a single pair converges in one propagation round; n_iters=1 must succeed
+    # (the cap bounds label-CHANGING rounds — the final quiescent observation
+    # round is free; regression for the off-by-one that raised here)
+    pairs = rd.from_items([{"a": 1, "b": 2}])
+    out = {r["node"]: r["cluster"]
+           for r in dedup_clusters(pairs, n_iters=1, driver_threshold=0).take_all()}
+    assert out == {1: 1, 2: 1}
