@@ -632,10 +632,10 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.9,
     ref = ray.put(planes)
 
     def code_batch(b: pa.Table) -> pa.Table:
+        from ..core.vecops import ids_and_matrix
+
         pl = ray.get(ref)
-        ids = np.array(b[id_col].to_pylist())
-        mat = np.array(b[vec_col].to_pylist(), dtype=np.float64)
-        mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids, mat_n = ids_and_matrix(b, id_col, vec_col)  # zero-copy flat child
         out_t, out_c, out_i, out_v = [], [], [], []
         for t in range(n_tables):
             bits = (mat_n @ pl[t].T) > 0  # (n, n_planes)
@@ -673,18 +673,11 @@ def embedding_dup_pairs_lsh(ds: rd.Dataset, *, threshold: float = 0.9,
 
 
 def _block_ids_mat(tbl: pa.Table, id_col: str, vec_col: str):
-    """(ids, row-normalized float64 matrix) from one Arrow block — vectorized
-    via the list column's flat child values, no per-row to_pylist."""
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    if len(ids) == 0:
-        return ids, np.zeros((0, 1))
-    arr = tbl[vec_col]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = flat.reshape(len(ids), -1)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    return ids, mat
+    """(ids, row-normalized float64 matrix) from one Arrow block — zero-copy
+    flat-child reshape (core/vecops)."""
+    from ..core.vecops import ids_and_matrix
+
+    return ids_and_matrix(tbl, id_col, vec_col)
 
 
 def embedding_dup_pairs_exact(ds: rd.Dataset, *, threshold: float = 0.98,

@@ -35,9 +35,10 @@ def knn_cosine(ds: rd.Dataset, queries: np.ndarray, query_ids: list, k: int = 10
     ref = ray.put((q, qids))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..core.vecops import ids_and_matrix
+
         qm, qid = ray.get(ref)
-        ids = np.array(batch[id_col].to_pylist())
-        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        ids, mat = ids_and_matrix(batch, id_col, vec_col)  # zero-copy flat child
         sims = mat @ qm.T  # (n, Q)
         out_q, out_n, out_s = [], [], []
         for c in range(sims.shape[1]):
@@ -107,9 +108,10 @@ def knn_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list,
     ref = ray.put((q, list(query_ids), cent, probes))
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..core.vecops import ids_and_matrix
+
         qm, qid, cb, prb = ray.get(ref)
-        ids = np.array(batch[id_col].to_pylist())
-        mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        ids, mat = ids_and_matrix(batch, id_col, vec_col)  # zero-copy flat child
         assign = (mat @ cb.T).argmax(axis=1)
         out_q, out_n, out_s = [], [], []
         for c in range(qm.shape[0]):
