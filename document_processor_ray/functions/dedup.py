@@ -23,6 +23,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -69,16 +70,51 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _flat_token_hashes(texts: pa.Array | pa.ChunkedArray,
+                       cache: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a whole batch (one RE-free Arrow kernel, identical
+    semantics to Python ``str.split()``) and hash each token to u64 blake2b —
+    hashing each UNIQUE token once per batch (dictionary-encode) with a
+    persistent cross-batch cache. Returns (flat doc-major token hashes,
+    per-doc token counts). This replaces the per-token Python dict probe that
+    was the hottest dedup kernel."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")  # edge whitespace yields "" elements
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    mask = nonempty.to_numpy(zero_copy_only=False).astype(bool)
+    counts = np.bincount(parent[mask], minlength=n).astype(np.int64)
+    denc = flat.filter(nonempty).dictionary_encode()
+    uniq = denc.dictionary.to_pylist()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            if len(cache) < 1_000_000:
+                cache[t] = h
+        uh[i] = h
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    return uh[idx], counts
+
+
 class MinHashSigner:
     """Actor-pool stage: word-shingle MinHash signatures. Permutation parameters
     and the token-hash cache are built once per actor (deterministic seed, so
-    signatures are identical across the cluster). Shingle hashes are combined
-    from cached per-token hashes with vectorized polynomial mixing — no
-    per-shingle cryptographic hashing in the hot loop."""
+    signatures are identical across the cluster). The whole batch is processed
+    vectorized: one Arrow tokenize+dictionary-encode, flat shingle polynomial
+    mixing over the doc-major token-hash array, and the per-permutation minima
+    via ``np.minimum.reduceat`` over doc segments — no per-doc or per-token
+    Python in the hot loop."""
 
     _C1 = np.uint64(0x9E3779B97F4A7C15)
     _C2 = np.uint64(0xBF58476D1CE4E5B9)
     _C3 = np.uint64(0x94D049BB133111EB)
+    _PERM_CHUNK = 8  # bounds the (chunk, n_shingles) u64 temp to a few MB
 
     def __init__(self, k: int = 64, shingle: int = 3, text_col: str = "text",
                  id_col: str = "doc_id", seed: int = 1234):
@@ -103,6 +139,8 @@ class MinHashSigner:
         return out
 
     def signature(self, text: str) -> np.ndarray:
+        """Scalar reference path (kept for tests/verification; __call__ does not
+        use it). Must stay output-identical to the batch path."""
         toks = (text or "").split()
         n = self.shingle
         if not toks:
@@ -123,12 +161,56 @@ class MinHashSigner:
         vals = (h[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def _signatures(self, th: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """(n_docs, k) signature matrix from flat doc-major token hashes.
+        Duplicate shingles are NOT deduped (the scalar path's np.unique) — the
+        min over a multiset equals the min over its support, so outputs match
+        bit-for-bit."""
+        n = self.shingle
+        n_docs = len(counts)
+        tok_offs = np.concatenate([[0], np.cumsum(counts)])
+        sig = np.empty((n_docs, self.k), dtype=np.uint64)
+        reg = counts >= n
+        reg_idx = np.flatnonzero(reg)
+        if len(reg_idx):
+            par = np.repeat(np.arange(n_docs), counts)
+            pos = np.arange(len(th)) - tok_offs[par]
+            vidx = np.flatnonzero(pos <= counts[par] - n)  # shingle start positions
+            h = th[vidx] * self._C1
+            for j in range(1, n):
+                h = h + th[vidx + j] * (self._C2 if j == 1 else self._C3)
+            offs = np.concatenate(
+                [[0], np.cumsum(counts[reg_idx] - n + 1)])[:-1].astype(np.intp)
+            for c0 in range(0, self.k, self._PERM_CHUNK):
+                a = self.a[c0 : c0 + self._PERM_CHUNK][:, None]
+                b = self.b[c0 : c0 + self._PERM_CHUNK][:, None]
+                vals = (h[None, :] * a + b) % _MERSENNE
+                sig[reg_idx, c0 : c0 + self._PERM_CHUNK] = np.minimum.reduceat(
+                    vals, offs, axis=1).T
+        for i in np.flatnonzero(~reg):  # short/empty docs: rare tail
+            lo, hi = int(tok_offs[i]), int(tok_offs[i + 1])
+            if hi == lo:
+                hh = np.zeros(1, dtype=np.uint64)
+            else:
+                hh = th[lo : lo + 1].copy()  # 1-elem array: wraps silently
+                for x in th[lo + 1 : hi]:
+                    hh = hh * self._C1 + x
+            sig[i] = ((hh[None, :] * self.a[:, None] + self.b[:, None])
+                      % _MERSENNE).min(axis=1)
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": ids, "sig": pa.array([], pa.binary())})
+        th, counts = _flat_token_hashes(batch[self.text_col], self._tok_cache)
+        sig = self._signatures(th, counts)
         return pa.table({
-            "doc_id": pa.array(ids),
-            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "doc_id": ids,
+            "sig": pa.array([sig[i].tobytes() for i in range(len(counts))],
+                            pa.binary()),
         })
 
 
@@ -531,16 +613,16 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
     signer = MinHashSigner(shingle=n)  # reuse its cached token→u64 shingle mixing
 
     def gramset(b: pa.Table) -> pa.Table:
+        th_flat, counts = _flat_token_hashes(b[text_col], signer._tok_cache)
+        tok_offs = np.concatenate([[0], np.cumsum(counts)])
         blobs = []
-        for t in b[text_col].to_pylist():
-            toks = (t or "").split()
-            if len(toks) < n:
-                th = signer._tok_hashes(toks) if toks else np.zeros(0, np.uint64)
+        for i in range(len(counts)):
+            th = th_flat[tok_offs[i] : tok_offs[i + 1]]
+            if len(th) < n:
                 h = th[:1].copy() if len(th) else np.zeros(1, np.uint64)
                 for x in th[1:]:
                     h = h * signer._C1 + x
             else:
-                th = signer._tok_hashes(toks)
                 h = th[: len(th) - n + 1] * signer._C1
                 for j in range(1, n):
                     h = h + th[j : len(th) - n + 1 + j] * (

@@ -212,3 +212,22 @@ def test_session_counts():
     out = win.session_counts(ds, gap_s=1800).to_pandas().sort_values("user_id")
     assert out.n_sessions.tolist() == [3, 1]
     assert out.n_events.tolist() == [6, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_batch_path_equals_scalar_reference():
+    # the vectorized batch signer must stay bit-identical to the scalar
+    # reference path (signature()) — including empty/short/whitespace docs
+    import numpy as np
+    import pyarrow as pa
+
+    from document_processor_ray.functions.dedup import MinHashSigner
+
+    texts = ["", "   ", "one", "one two", "a\tb\nc d e f", None,
+             "the quick brown fox " * 50, "x " * 3]
+    batch = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                      "text": pa.array(texts)})
+    out = MinHashSigner()(batch)
+    ref = MinHashSigner()
+    for t, blob in zip(texts, out["sig"].to_pylist()):
+        assert np.array_equal(ref.signature(t), np.frombuffer(blob, np.uint64))
