@@ -53,6 +53,10 @@ class ExtractConfig:
     # canonical encoding; non-defaults change media bytes/refs deterministically
     media_format: str = "synth-z"
     media_quality: int = 9
+    # M2 config (SPEC §6a; reference OcrPipeline FAST|FULL|HYBRID,
+    # models.py:14-17, api.py:69): force the fast-only / full-only engine or
+    # run the hybrid cascade (default)
+    ocr_pipeline: str = "hybrid"
 
 
 def _parquet_paths(path: str | list[str]) -> list[str]:
@@ -102,6 +106,13 @@ def _pool(cfg: ExtractConfig):
     return max(1, min((n * 3) // 4, n - 2))
 
 
+def _finalize_with(ocr_pipeline: str):
+    def f(group: pa.Table) -> pa.Table:
+        return finalize_group(group, ocr_pipeline)
+
+    return f
+
+
 def _branches(source, cfg: ExtractConfig):
     """Build the small-doc and giant-doc branch Datasets (either may be None)."""
     T = cfg.split_threshold
@@ -138,7 +149,8 @@ def _branches(source, cfg: ExtractConfig):
 
     parse_kwargs = {"media_dir": cfg.media_dir, "engine_effort": cfg.engine_effort,
                     "media_format": cfg.media_format,
-                    "media_quality": cfg.media_quality}
+                    "media_quality": cfg.media_quality,
+                    "ocr_pipeline": cfg.ocr_pipeline}
     pool = _pool(cfg)
     small_out = (
         small.map_batches(sniff_batch, batch_format="pyarrow")
@@ -181,7 +193,7 @@ def _branches(source, cfg: ExtractConfig):
             # one reducer call reassembles many docs, avoiding per-doc group overhead
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("regroup_part")
-            .map_groups(finalize_group, batch_format="pyarrow")
+            .map_groups(_finalize_with(cfg.ocr_pipeline), batch_format="pyarrow")
         )
     if cfg.emit_layout:
         from ..stages.layout import add_layout_batch

@@ -106,12 +106,15 @@ class ParseStage:
 
     def __init__(self, mode: str = "whole", media_dir: str | None = None,
                  engine_effort: int = 0, media_format: str = codec.DEFAULT_FORMAT,
-                 media_quality: int = codec.DEFAULT_QUALITY):
+                 media_quality: int = codec.DEFAULT_QUALITY,
+                 ocr_pipeline: str = "hybrid"):
         assert mode in ("whole", "chunks")
+        assert ocr_pipeline in ("fast", "full", "hybrid")  # SPEC §6a (M2 config)
         from ..core import limit_arrow_threads
 
         limit_arrow_threads(1)  # one actor = one CPU; see core.limit_arrow_threads
         self.mode = mode
+        self.ocr_pipeline = ocr_pipeline
         self.store = MediaStore(media_dir)
         # I3 config surface: defaults = the SPEC §5 canonical encoding the
         # equality invariant assumes; non-default knobs change refs/bytes
@@ -315,17 +318,24 @@ class ParseStage:
                 if hi == lo:
                     push_final(did, [], cls, "none", 0, 0, "empty_document")
                     continue
-                # fast pass first to decide (reference content_extractor.py:85-108)
-                tagged, has_text, n_err = self._extract_doc_spans(
-                    cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
-                    payloads, do_ocr_spans=False)
-                if has_text:
-                    ocr_path = "fast"
-                else:
+                # SPEC §6a: forced modes skip the cascade decision; hybrid runs
+                # the fast pass first (reference content_extractor.py:85-108)
+                if self.ocr_pipeline == "full":
                     tagged, _, n_err = self._extract_doc_spans(
-                        cls, order, kinds, cleaned, media_refs, t_words, na_words, raw_lens,
-                        payloads, do_ocr_spans=True)
+                        cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                        raw_lens, payloads, do_ocr_spans=True)
                     ocr_path = "full"
+                else:
+                    tagged, has_text, n_err = self._extract_doc_spans(
+                        cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                        raw_lens, payloads, do_ocr_spans=False)
+                    if self.ocr_pipeline == "fast" or has_text:
+                        ocr_path = "fast"
+                    else:
+                        tagged, _, n_err = self._extract_doc_spans(
+                            cls, order, kinds, cleaned, media_refs, t_words, na_words,
+                            raw_lens, payloads, do_ocr_spans=True)
+                        ocr_path = "full"
                 push_final(did, [(k, t, m) for k, t, m, _ in tagged],
                            cls, ocr_path, hi - lo, n_err, "")
             except Exception as exc:  # F5: never fail the job for one row
@@ -374,13 +384,15 @@ def _final_row(doc_id, spans, doc_class, ocr_path, n_in, n_err, error):
     }
 
 
-def finalize_group(group: pa.Table) -> pa.Table:
+def finalize_group(group: pa.Table, ocr_pipeline: str = "hybrid") -> pa.Table:
     """Reassemble documents from parsed chunks (the shuffle's reducer; SURVEY §4.3
     'salted regroup'). The group key is a coarse hash partition of doc_id — one
     call reassembles MANY docs (per-doc Ray groups would pay per-group scheduling
     overhead; see core/groupops.py). Deterministic: sort by (doc_id, part_idx),
     OR the cascade verdicts per doc, drop ocr_inserted spans when fast wins,
-    renumber offsets by prefix order."""
+    renumber offsets by prefix order. Chunks always carry tagged OCR spans, so
+    the SPEC §6a forced modes resolve here: "fast" drops every tagged span,
+    "full" keeps them all — schedule-independent either way."""
     group = group.sort_by([("doc_id", "ascending"), ("part_idx", "ascending")])
     doc_ids = group["doc_id"].to_pylist()
     classes = group["doc_class"].to_pylist()
@@ -398,10 +410,16 @@ def finalize_group(group: pa.Table) -> pa.Table:
         has_text = any(has_texts[i:j])
         n_in = sum(n_ins[i:j])
         n_err = sum(n_errs[i:j])
+        if ocr_pipeline == "fast":
+            drop_ocr, path = True, "fast"
+        elif ocr_pipeline == "full":
+            drop_ocr, path = False, "full"
+        else:
+            drop_ocr, path = has_text, "fast" if has_text else "full"
         spans = []
         for chunk in chunks[i:j]:
             for s in chunk:
-                if has_text and s["ocr_inserted"]:
+                if drop_ocr and s["ocr_inserted"]:
                     continue
                 spans.append({"kind": s["kind"], "text": s["text"],
                               "media_ref": s["media_ref"], "offset": len(spans)})
@@ -410,6 +428,6 @@ def finalize_group(group: pa.Table) -> pa.Table:
                                    "empty_document"))
         else:
             rows.append(_final_row(doc_ids[i], spans, classes[i],
-                                   "fast" if has_text else "full", n_in, n_err, ""))
+                                   path, n_in, n_err, ""))
         i = j
     return pa.Table.from_pylist(rows, schema=FINAL_SCHEMA)

@@ -99,10 +99,13 @@ def ocr_of(dec) -> str:
                     if c is not None and str(c) != "")
 
 
-def extract_doc(row: dict, span_range: tuple | None = None) -> dict:
+def extract_doc(row: dict, span_range: tuple | None = None,
+                ocr_pipeline: str = "hybrid") -> dict:
     """row: {doc_id, spans, payloads} → {doc_id, spans, metrics} per SPEC.
     ``span_range``: optional inclusive (first, last) input-offset bounds
-    (SPEC §6c) applied before anything else; None bounds are open."""
+    (SPEC §6c) applied before anything else; None bounds are open.
+    ``ocr_pipeline``: SPEC §6a — "hybrid" (cascade), "fast" (never insert OCR
+    spans), "full" (always insert)."""
     spans_in = sorted(row.get("spans") or [], key=lambda s: s["offset"])
     if span_range is not None:
         fs, ls = span_range
@@ -150,11 +153,17 @@ def extract_doc(row: dict, span_range: tuple | None = None) -> dict:
         prepared.append((kind, txt, "", None, True))
 
     has_text = any(p[4] for p in prepared)
-    ocr_path = "fast" if has_text else "full"
+    if ocr_pipeline == "fast":
+        ocr_path, insert_ocr = "fast", False
+    elif ocr_pipeline == "full":
+        ocr_path, insert_ocr = "full", True
+    else:
+        ocr_path = "fast" if has_text else "full"
+        insert_ocr = not has_text
     out = []
     for kind, txt, ref, ocr_clean, is_text in prepared:
         out.append({"kind": kind, "text": txt, "media_ref": ref, "offset": len(out)})
-        if not has_text and ocr_clean is not None:
+        if insert_ocr and ocr_clean is not None:
             out.append({"kind": "text", "text": ocr_clean, "media_ref": "",
                         "offset": len(out)})
     return _out(row["doc_id"], out, doc_class, ocr_path, len(spans_in), n_err, "")

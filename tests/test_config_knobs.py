@@ -80,3 +80,29 @@ def test_media_table_honors_format_config():
             assert bytes(m["data"][:6]) == codec.ENC_IMG_RAW_MAGIC
         dec = codec.decode_canonical(m["data"])  # every blob round-trips
         assert dec is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ocr_pipeline_modes_match_oracle():
+    """SPEC §6a: fast/full/hybrid each match the oracle arm, including over the
+    chunked giant-doc path, and the metrics ocr_path distribution follows the
+    forced mode."""
+    corpus = gen_corpus(150, seed=33, giant_rate=0.04)
+    rows = corpus.to_pylist()
+    for mode in ("fast", "full", "hybrid"):
+        out = build_extraction(
+            corpus, ExtractConfig(split_threshold=80, chunk_size=30,
+                                  ocr_pipeline=mode)).take_all()
+        got = _seqs(out)
+        want = _seqs([oracle.extract_doc(r, ocr_pipeline=mode) for r in rows])
+        assert got == want, mode
+        paths = {r["metrics"]["ocr_path"] for r in out
+                 if r["metrics"]["doc_class"] != "empty"}
+        if mode in ("fast", "full"):
+            assert paths <= {mode}, (mode, paths)
+        else:
+            assert paths == {"fast", "full"}  # the corpus exercises both arms
+    # forced modes genuinely diverge from hybrid on scanned docs
+    full = _seqs([oracle.extract_doc(r, ocr_pipeline="full") for r in rows])
+    fast = _seqs([oracle.extract_doc(r, ocr_pipeline="fast") for r in rows])
+    assert full != fast
