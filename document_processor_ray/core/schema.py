@@ -25,18 +25,27 @@ PAYLOAD_TYPE = pa.struct(
     ]
 )
 
-# §6b layout/hierarchy side column: one element per OUTPUT span (2-decimal
-# bbox like the reference's Position; ref/parent_ref/level parent-pointer tree)
-SPANS_META_TYPE = pa.struct(
+# §6b layout/hierarchy side column: one element per OUTPUT span, carrying one
+# position PER PAGE FRAGMENT (2-decimal bbox + coord_origin like the
+# reference's Position, models.py:31-44; ref/parent_ref/level parent-pointer
+# tree)
+POSITION_TYPE = pa.struct(
     [
-        ("ref", pa.string()),
-        ("parent_ref", pa.string()),
-        ("level", pa.int32()),
         ("page_no", pa.int32()),
         ("l", pa.float64()),
         ("t", pa.float64()),
         ("r", pa.float64()),
         ("b", pa.float64()),
+        ("coord_origin", pa.string()),
+    ]
+)
+
+SPANS_META_TYPE = pa.struct(
+    [
+        ("ref", pa.string()),
+        ("parent_ref", pa.string()),
+        ("level", pa.int32()),
+        ("positions", pa.list_(POSITION_TYPE)),
     ]
 )
 

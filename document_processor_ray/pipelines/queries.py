@@ -700,8 +700,10 @@ def q_extract_flagship(sf_dir):
 
 def q_span_positions(sf_dir):
     """Layout fidelity surface (SPEC §6b): flagship extraction with the
-    spans_meta column, flattened to one row per output span with page/bbox and
-    hierarchy fields (the reference's Position + ref/parent_ref/level)."""
+    spans_meta column, flattened to one row per (output span, POSITION) — the
+    reference's one-Position-per-provenance-item shape, page-wrapping spans
+    contributing one row per page fragment — with hierarchy fields and
+    coord_origin."""
     from .extract import ExtractConfig, build_extraction
 
     out = build_extraction(_interleaved_corpus(sf_dir),
@@ -719,17 +721,91 @@ def q_span_positions(sf_dir):
         doc_id = b["doc_id"]
         if isinstance(doc_id, pa.ChunkedArray):
             doc_id = doc_id.combine_chunks()
-        return pa.table({"doc_id": doc_id.take(parent),
-                         "offset": sv.field("offset"),
-                         "kind": sv.field("kind"),
-                         "ref": mv.field("ref"),
-                         "parent_ref": mv.field("parent_ref"),
-                         "level": mv.field("level"),
-                         "page_no": mv.field("page_no"),
-                         "l": mv.field("l"), "t": mv.field("t"),
-                         "r": mv.field("r"), "b": mv.field("b")})
+        span_doc = doc_id.take(parent)
+        pos = mv.field("positions")
+        pos_parent_np = pc.list_parent_indices(pos).to_numpy(zero_copy_only=False)
+        pos_offs = pos.offsets.to_numpy(zero_copy_only=False)
+        pos_idx = np.arange(len(pos_parent_np)) - pos_offs[pos_parent_np]
+        pv = pos.flatten()
+        take = pa.array(pos_parent_np)
+        return pa.table({"doc_id": span_doc.take(take),
+                         "offset": sv.field("offset").take(take),
+                         "kind": sv.field("kind").take(take),
+                         "ref": mv.field("ref").take(take),
+                         "parent_ref": mv.field("parent_ref").take(take),
+                         "level": mv.field("level").take(take),
+                         "pos_idx": pa.array(pos_idx, pa.int32()),
+                         "page_no": pv.field("page_no"),
+                         "l": pv.field("l"), "t": pv.field("t"),
+                         "r": pv.field("r"), "b": pv.field("b"),
+                         "coord_origin": pv.field("coord_origin")})
 
     return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_span_fragments(sf_dir):
+    """SQL-checkable drive of the §6b layout ENGINE itself (not just its
+    arithmetic): each document's cleaned text runs through stages.layout as a
+    single paragraph span; output = per-doc position count and the last
+    fragment's page/bottom. The SQL mirror reproduces the 46-line page-fragment
+    rule in closed form."""
+    from ..core.schema import SPAN_TYPE
+    from ..stages.layout import add_layout_batch
+
+    def to_spans(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        clean = clean_text_arr(t)
+        if isinstance(clean, pa.ChunkedArray):
+            clean = clean.combine_chunks()
+        n = len(clean)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(["paragraph"] * n, pa.string()), clean,
+             pa.array([""] * n, pa.string()),
+             pa.array(np.zeros(n, dtype=np.int32))],
+            fields=list(SPAN_TYPE))
+        offs = pa.array(np.arange(n + 1, dtype=np.int32))
+        return pa.table({"doc_id": b["doc_id"],
+                         "spans": pa.ListArray.from_arrays(offs, struct)})
+
+    def summarize(b: pa.Table) -> pa.Table:
+        meta = b["spans_meta"]
+        if isinstance(meta, pa.ChunkedArray):
+            meta = meta.combine_chunks()
+        mv = meta.flatten()  # exactly one span per doc by construction
+        pos = mv.field("positions")
+        lens = pc.list_value_length(pos).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_offs = pos.offsets.to_numpy(zero_copy_only=False)
+        pv = pos.flatten()
+        last = pa.array(pos_offs[1:] - 1)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_positions": pa.array(lens, pa.int64()),
+                         "last_page": pc.cast(pv.field("page_no").take(last), pa.int64()),
+                         "last_b": pv.field("b").take(last)})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(to_spans, batch_format="pyarrow")
+            .map_batches(add_layout_batch, batch_format="pyarrow")
+            .map_batches(summarize, batch_format="pyarrow"))
+
+
+SQL_SPAN_FRAGMENTS = f"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '{GLYPH_PAT}', ' ', 'g'),
+                             '{WS_RUN_PAT}', ' ', 'g'), {_TRIM_WS_SQL}) AS ct
+  FROM documents),
+n AS (SELECT doc_id,
+             greatest(1, CAST(ceil(length(ct) / 80.0) AS BIGINT)) AS nlines
+      FROM c)
+SELECT doc_id,
+       CAST(ceil(nlines / 46.0) AS BIGINT) AS n_positions,
+       CAST(ceil(nlines / 46.0) AS BIGINT) AS last_page,
+       72.0 + 14 * (nlines - 46 * (CAST(ceil(nlines / 46.0) AS BIGINT) - 1))
+         AS last_b
+FROM n
+"""
 
 
 def q_page_layout(sf_dir):
@@ -955,6 +1031,7 @@ QUERIES = {
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
     "span_positions": (q_span_positions, None),
+    "span_fragments": (q_span_fragments, SQL_SPAN_FRAGMENTS),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),

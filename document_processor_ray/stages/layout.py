@@ -18,15 +18,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.schema import MEDIA_KINDS, SPANS_META_TYPE
+from ..core.schema import MEDIA_KINDS, POSITION_TYPE, SPANS_META_TYPE
 from .sniff import list_offsets
 
 PAGE_TOP = 72.0
 PAGE_BOTTOM = 720.0
 LINE_H = 14
 CHARS_PER_LINE = 80
+LINES_PER_PAGE = 46          # most 14pt lines fitting 648pt of content height
+PAGE_FRAG_H = LINES_PER_PAGE * LINE_H  # 644
 CONTENT_L = 72.0
 CONTENT_R = 540.0
+COORD_ORIGIN = "TOPLEFT"
 _MEDIA_H = {"picture": 240, "table": 160, "code": 120, "formula": 80}
 ROOT_REF = "#/"
 
@@ -43,8 +46,8 @@ def _span_heights(kinds: pa.Array, texts: pa.Array) -> np.ndarray:
 
 
 def add_layout_batch(batch: pa.Table) -> pa.Table:
-    """Append ``spans_meta`` (list<struct ref/parent_ref/level/page_no/l/t/r/b>)
-    aligned with the output ``spans`` column."""
+    """Append ``spans_meta`` (list<struct ref/parent_ref/level/positions>) with
+    one position per page fragment, aligned with the output ``spans`` column."""
     from ..core import limit_arrow_threads
 
     limit_arrow_threads(1)
@@ -62,9 +65,11 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
     refs: list[str] = [""] * n_child
     parents: list[str] = [""] * n_child
     levels = np.zeros(n_child, dtype=np.int32)
-    pages = np.zeros(n_child, dtype=np.int32)
-    tops = np.zeros(n_child, dtype=np.float64)
-    bots = np.zeros(n_child, dtype=np.float64)
+    pos_counts = np.zeros(n_child, dtype=np.int32)
+    # flat per-position accumulators (most spans carry exactly one position)
+    p_pages: list[int] = []
+    p_tops: list[float] = []
+    p_bots: list[float] = []
 
     for d in range(len(offs) - 1):
         lo, hi = int(offs[d]), int(offs[d + 1])
@@ -75,8 +80,20 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
             if y + h > PAGE_BOTTOM and y > PAGE_TOP:
                 page += 1
                 y = PAGE_TOP
-            pages[j], tops[j], bots[j] = page, y, y + h
-            y += h
+            if y + h <= PAGE_BOTTOM:
+                p_pages.append(page); p_tops.append(y); p_bots.append(y + h)
+                pos_counts[j] = 1
+                y += h
+            else:  # taller than a fresh page (y == PAGE_TOP): page fragments
+                rem, npos = h, 0
+                while rem > PAGE_FRAG_H:
+                    p_pages.append(page); p_tops.append(PAGE_TOP)
+                    p_bots.append(PAGE_TOP + PAGE_FRAG_H)
+                    page, rem, npos = page + 1, rem - PAGE_FRAG_H, npos + 1
+                p_pages.append(page); p_tops.append(PAGE_TOP)
+                p_bots.append(PAGE_TOP + rem)
+                pos_counts[j] = npos + 1
+                y = PAGE_TOP + rem
             ref = f"#/spans/{j - lo}"
             refs[j] = ref
             kind = kinds[j]
@@ -91,11 +108,21 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
                 p = cur_section or cur_title or (ROOT_REF, 0)
                 parents[j], levels[j] = p[0], p[1] + 1
 
+    n_pos = len(p_pages)
+    pos_struct = pa.StructArray.from_arrays(
+        [pa.array(p_pages, pa.int32()),
+         pa.array(np.full(n_pos, CONTENT_L)),
+         pa.array(np.round(np.asarray(p_tops, dtype=np.float64), 2)),
+         pa.array(np.full(n_pos, CONTENT_R)),
+         pa.array(np.round(np.asarray(p_bots, dtype=np.float64), 2)),
+         pa.array([COORD_ORIGIN] * n_pos, pa.string())],
+        fields=list(POSITION_TYPE))
+    pos_offs = pa.array(
+        np.concatenate([[0], np.cumsum(pos_counts)]).astype(np.int32))
+    positions_col = pa.ListArray.from_arrays(pos_offs, pos_struct)
     meta = pa.StructArray.from_arrays(
         [pa.array(refs, pa.string()), pa.array(parents, pa.string()),
-         pa.array(levels, type=pa.int32()), pa.array(pages, type=pa.int32()),
-         pa.array(np.full(n_child, CONTENT_L)), pa.array(np.round(tops, 2)),
-         pa.array(np.full(n_child, CONTENT_R)), pa.array(np.round(bots, 2))],
+         pa.array(levels, type=pa.int32()), positions_col],
         fields=list(SPANS_META_TYPE))
     meta_col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), meta)
     return batch.append_column("spans_meta", meta_col)

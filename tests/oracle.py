@@ -194,7 +194,9 @@ _MEDIA_HEIGHT = {"picture": 240, "table": 160, "code": 120, "formula": 80}
 
 
 def layout_of(out_spans: list[dict]) -> list[dict]:
-    """Pure function of the final output spans → one meta dict per span."""
+    """Pure function of the final output spans → one meta dict per span, each
+    carrying a LIST of positions (one per page fragment for page-wrapping text
+    spans; SPEC §6b)."""
     metas = []
     page, y = 1, 72
     title = None     # (ref, level)
@@ -208,6 +210,25 @@ def layout_of(out_spans: list[dict]) -> list[dict]:
             h = 14 * max(1, nlines)
         if y + h > 720 and y > 72:
             page, y = page + 1, 72
+        positions = []
+        if y + h <= 720:
+            positions.append({"page_no": page, "l": 72.0, "t": round(float(y), 2),
+                              "r": 540.0, "b": round(float(y + h), 2),
+                              "coord_origin": "TOPLEFT"})
+            y += h
+        else:
+            # taller than a fresh page (y == 72): one position per 46-line
+            # page fragment, remainder on the last page
+            rem = h
+            while rem > 46 * 14:
+                positions.append({"page_no": page, "l": 72.0, "t": 72.0,
+                                  "r": 540.0, "b": round(72.0 + 46 * 14, 2),
+                                  "coord_origin": "TOPLEFT"})
+                page, rem = page + 1, rem - 46 * 14
+            positions.append({"page_no": page, "l": 72.0, "t": 72.0,
+                              "r": 540.0, "b": round(72.0 + rem, 2),
+                              "coord_origin": "TOPLEFT"})
+            y = 72 + rem
         ref = "#/spans/%d" % s["offset"]
         if kind == "title":
             parent, level = "#/", 1
@@ -219,10 +240,6 @@ def layout_of(out_spans: list[dict]) -> list[dict]:
         else:
             p = section if section else (title if title else ("#/", 0))
             parent, level = p[0], p[1] + 1
-        metas.append({
-            "ref": ref, "parent_ref": parent, "level": level, "page_no": page,
-            "l": round(72.0, 2), "t": round(float(y), 2),
-            "r": round(540.0, 2), "b": round(float(y + h), 2),
-        })
-        y += h
+        metas.append({"ref": ref, "parent_ref": parent, "level": level,
+                      "positions": positions})
     return metas

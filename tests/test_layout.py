@@ -1,6 +1,6 @@
 """SPEC §6b layout/hierarchy parity: pipeline spans_meta vs the oracle's
 independent layout over the oracle's own output spans (both branches: whole-doc
-and chunk-split giants)."""
+and chunk-split giants), with one position per page fragment."""
 
 from __future__ import annotations
 
@@ -15,9 +15,14 @@ from document_processor_ray.pipelines.extract import ExtractConfig, build_extrac
 from tests import oracle
 
 
+def _pos_tuples(positions):
+    return tuple((p["page_no"], p["l"], p["t"], p["r"], p["b"], p["coord_origin"])
+                 for p in positions)
+
+
 def _meta_tuples(metas):
-    return [(m["ref"], m["parent_ref"], m["level"], m["page_no"],
-             m["l"], m["t"], m["r"], m["b"]) for m in metas]
+    return [(m["ref"], m["parent_ref"], m["level"], _pos_tuples(m["positions"]))
+            for m in metas]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -35,7 +40,8 @@ def test_layout_parity_with_oracle():
         got = _meta_tuples(row["spans_meta"])
         want = _meta_tuples(oracle.layout_of(exp["spans"]))
         assert got == want, row["doc_id"]
-        checked_pages += max((m["page_no"] for m in row["spans_meta"]), default=0)
+        checked_pages += max((p["page_no"] for m in row["spans_meta"]
+                              for p in m["positions"]), default=0)
     # the corpus must actually exercise multi-page layout
     assert checked_pages > len(out)
 
@@ -45,8 +51,10 @@ def test_layout_rules_unit():
     spans = [{"kind": "picture", "text": "", "media_ref": "", "offset": i}
              for i in range(5)]
     metas = oracle.layout_of(spans)
-    assert [m["page_no"] for m in metas] == [1, 1, 2, 2, 3]
-    assert metas[2]["t"] == 72.0 and metas[1]["b"] == 552.0
+    assert [m["positions"][0]["page_no"] for m in metas] == [1, 1, 2, 2, 3]
+    assert all(len(m["positions"]) == 1 for m in metas)  # media never splits
+    assert metas[2]["positions"][0]["t"] == 72.0
+    assert metas[1]["positions"][0]["b"] == 552.0
 
     # hierarchy: title -> section_header -> paragraph chain
     spans = [
@@ -63,10 +71,32 @@ def test_layout_rules_unit():
         ("#/", 1), ("#/spans/4", 2),
     ]
 
-    # long text wraps lines: 200 chars = 3 lines = 42pt
+    # long text wraps lines: 200 chars = 3 lines = 42pt, one position
     spans = [{"kind": "text", "text": "x" * 200, "media_ref": "", "offset": 0}]
-    m = oracle.layout_of(spans)[0]
-    assert m["b"] - m["t"] == 42.0
+    (p,) = oracle.layout_of(spans)[0]["positions"]
+    assert p["b"] - p["t"] == 42.0 and p["coord_origin"] == "TOPLEFT"
+
+
+def test_layout_page_fragments_unit():
+    # 100 lines = 8000 chars: ceil(100/46) = 3 fragments; full ones carry 46
+    # lines (644pt, b=716), the last the 8-line remainder
+    spans = [{"kind": "text", "text": "x" * 8000, "media_ref": "", "offset": 0},
+             {"kind": "text", "text": "y", "media_ref": "", "offset": 1}]
+    metas = oracle.layout_of(spans)
+    pos = metas[0]["positions"]
+    assert [p["page_no"] for p in pos] == [1, 2, 3]
+    assert [(p["t"], p["b"]) for p in pos[:2]] == [(72.0, 716.0), (72.0, 716.0)]
+    assert pos[2]["b"] == 72.0 + 14 * (100 - 92)
+    # the next span continues below the last fragment on its page
+    nxt = metas[1]["positions"][0]
+    assert nxt["page_no"] == 3 and nxt["t"] == pos[2]["b"]
+
+    # a giant span NOT at page top first breaks to a fresh page, then splits
+    spans = [{"kind": "text", "text": "z" * 100, "media_ref": "", "offset": 0},
+             {"kind": "text", "text": "x" * 8000, "media_ref": "", "offset": 1}]
+    metas = oracle.layout_of(spans)
+    assert metas[0]["positions"][0]["page_no"] == 1
+    assert [p["page_no"] for p in metas[1]["positions"]] == [2, 3, 4]
 
 
 from hypothesis import given, settings
@@ -75,7 +105,7 @@ from hypothesis import strategies as st
 _KINDS = ["title", "section_header", "paragraph", "text", "list_item",
           "picture", "table", "formula", "code", "weird_kind"]
 _span_seq = st.lists(
-    st.tuples(st.sampled_from(_KINDS), st.integers(0, 400)), max_size=60
+    st.tuples(st.sampled_from(_KINDS), st.integers(0, 9000)), max_size=60
 ).map(lambda ts: [{"kind": k, "text": "x" * n, "media_ref": "", "offset": i}
                   for i, (k, n) in enumerate(ts)])
 
@@ -90,13 +120,23 @@ def test_layout_invariants(spans):
     by_ref = {m["ref"]: m for m in metas}
     prev_page, seen = 1, set()
     for s, m in zip(spans, metas):
-        assert m["b"] > m["t"] >= 72.0 and m["l"] == 72.0 and m["r"] == 540.0
-        assert m["page_no"] >= prev_page  # pages never go backwards
-        prev_page = m["page_no"]
-        # a span starting below the top must have fit the page when placed,
-        # unless it is taller than a full page (then it overflows in place)
-        if m["t"] > 72.0:
-            assert m["b"] <= 720.0 or (m["b"] - m["t"]) > 648.0
+        pos = m["positions"]
+        assert len(pos) >= 1
+        for p in pos:
+            # every fragment fits its page and uses the full content width
+            assert 720.0 >= p["b"] > p["t"] >= 72.0
+            assert p["l"] == 72.0 and p["r"] == 540.0
+            assert p["coord_origin"] == "TOPLEFT"
+        assert pos[0]["page_no"] >= prev_page  # pages never go backwards
+        # fragments advance one page at a time, non-final ones are full
+        for q, p in zip(pos, pos[1:]):
+            assert p["page_no"] == q["page_no"] + 1
+            assert (q["t"], q["b"]) == (72.0, 72.0 + 46 * 14)
+        # multi-position only for spans taller than a fresh page
+        if len(pos) > 1:
+            assert s["kind"] not in oracle.MEDIA_KINDS
+            assert sum(p["b"] - p["t"] for p in pos) > 648.0
+        prev_page = pos[-1]["page_no"]
         # hierarchy: parent is root or an earlier span; level = parent+1
         if m["parent_ref"] == "#/":
             assert m["level"] == 1 if s["kind"] == "title" else m["level"] >= 1
