@@ -21,6 +21,7 @@ TBL_MAGIC = b"STBL1\0"
 ENC_IMG_MAGIC = b"EIMG1\0"
 ENC_TBL_MAGIC = b"ETBL1\0"
 ENC_IMG_RAW_MAGIC = b"EIMGR\0"  # "synth-raw" image container (no compression)
+ENC_PAGE_MAGIC = b"EPAG1\0"     # synthetic page-screenshot render (SPEC §7, I1)
 
 # I3 analog (reference image_extractor.py:42-64 + api.py:77-79: JPEG/PNG/WEBP
 # format + quality knobs). The synth codec exposes the same config surface:
@@ -72,20 +73,24 @@ def decode_payload(data: bytes) -> DecodedImage | DecodedTable:
 
 
 def reencode(decoded: DecodedImage | DecodedTable, clean,
-             fmt: str = DEFAULT_FORMAT, quality: int = DEFAULT_QUALITY) -> bytes:
+             fmt: str = DEFAULT_FORMAT, quality: int = DEFAULT_QUALITY,
+             scale: int = 1) -> bytes:
     """Deterministic re-encode; ``clean`` is the N1 scalar cleaner. The
     defaults produce the CANONICAL encoding of SPEC §5 (which the equality
-    invariant and content-addressed refs assume); ``fmt``/``quality`` are the
-    I3 config surface — non-default values yield different (still
+    invariant and content-addressed refs assume); ``fmt``/``quality``/``scale``
+    are the I3 config surface — non-default values yield different (still
     deterministic, still content-addressed) bytes, exactly like choosing
-    JPEG-vs-PNG or a quality level in the reference. Format applies to images
-    (as in the reference); tables always use the ETBL container but honor
-    ``quality``."""
+    JPEG-vs-PNG, a quality level, or the reference's 2-3x ``image_scale``
+    render multiplier (``api.py:80``, ``content_extractor.py:31``). Format and
+    scale apply to images (as in the reference); tables always use the ETBL
+    container but honor ``quality``."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown media format {fmt!r}; known: {FORMATS}")
+    if scale < 1:
+        raise ValueError(f"media scale must be >= 1 (got {scale})")
     if isinstance(decoded, DecodedImage):
         payload = clean(decoded.text).encode("utf-8")
-        dims = struct.pack("<II", decoded.width, decoded.height)
+        dims = struct.pack("<II", decoded.width * scale, decoded.height * scale)
         if fmt == "synth-raw":
             return ENC_IMG_RAW_MAGIC + dims + payload
         return ENC_IMG_MAGIC + dims + zlib.compress(payload, quality)
@@ -114,6 +119,17 @@ def decode_canonical(data: bytes) -> DecodedImage | DecodedTable:
 
 def media_ref_of(canonical: bytes) -> str:
     return "media://" + hashlib.sha256(canonical).hexdigest()[:16]
+
+
+PAGE_W, PAGE_H = 612, 792
+
+
+def encode_page_render(doc_id: str, page_no: int) -> bytes:
+    """Synthetic per-page screenshot blob (SPEC §7; I1 analog — the reference
+    emits one screenshot per Page, page_extractor.py:51-61). Deterministic and
+    content-addressable like every other media blob."""
+    return (ENC_PAGE_MAGIC + struct.pack("<II", PAGE_W, PAGE_H)
+            + zlib.compress(f"{doc_id}\0{page_no}".encode("utf-8"), 9))
 
 
 def ocr_text(decoded: DecodedImage | DecodedTable) -> str:

@@ -53,6 +53,9 @@ class ExtractConfig:
     # canonical encoding; non-defaults change media bytes/refs deterministically
     media_format: str = "synth-z"
     media_quality: int = 9
+    media_scale: int = 1             # reference image_scale render multiplier
+    # I1 analog: per-page synthetic screenshot records (SPEC §7; off by default)
+    page_screenshots: bool = False
     # M2 config (SPEC §6a; reference OcrPipeline FAST|FULL|HYBRID,
     # models.py:14-17, api.py:69): force the fast-only / full-only engine or
     # run the hybrid cascade (default)
@@ -150,6 +153,7 @@ def _branches(source, cfg: ExtractConfig):
     parse_kwargs = {"media_dir": cfg.media_dir, "engine_effort": cfg.engine_effort,
                     "media_format": cfg.media_format,
                     "media_quality": cfg.media_quality,
+                    "media_scale": cfg.media_scale,
                     "ocr_pipeline": cfg.ocr_pipeline}
     pool = _pool(cfg)
     small_out = (
@@ -249,14 +253,18 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
                 except codec.CodecError:
                     continue
                 canonical = codec.reencode(dec, clean_text, cfg.media_format,
-                                           cfg.media_quality)
+                                           cfg.media_quality, cfg.media_scale)
                 ref = codec.media_ref_of(canonical)
                 if ref in seen:
                     continue
                 seen.add(ref)
                 refs.append(ref)
                 if isinstance(dec, codec.DecodedImage):
-                    ctypes.append("image/x-synth"); ws.append(dec.width); hs.append(dec.height)
+                    ctypes.append("image/x-synth")
+                    # recorded dims = the RENDER's dims (scale honored), same
+                    # as what the canonical blob itself carries
+                    ws.append(dec.width * cfg.media_scale)
+                    hs.append(dec.height * cfg.media_scale)
                     cells.append(None)
                 else:
                     ctypes.append("table/x-synth"); ws.append(0); hs.append(0)
@@ -278,6 +286,57 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
         })
 
     return ds.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+
+
+def build_page_screenshots(extracted: rd.Dataset) -> rd.Dataset:
+    """I1 closure (SPEC §7): one synthetic page-render record per laid-out page
+    of each document — the reference emits a screenshot per ``Page``
+    (``page_extractor.py:51-61``). Derives page counts from the ``spans_meta``
+    positions already on the extraction output (requires ``emit_layout``);
+    docs with no output spans emit no pages. Vectorized explode (np.repeat +
+    cumulative-offset page numbering); only the per-page blob encode is
+    per-row (it IS the render)."""
+    import numpy as np
+
+    from ..core import codec as _codec
+
+    def pages(b: pa.Table) -> pa.Table:
+        meta = b["spans_meta"]
+        if isinstance(meta, pa.ChunkedArray):
+            meta = meta.combine_chunks()
+        doc_id = b["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        n = len(doc_id)
+        # last position's page per doc = the doc's page count (pages never go
+        # backwards within a doc, SPEC §6b)
+        meta_offs = meta.offsets.to_numpy(zero_copy_only=False)
+        pos = meta.flatten().field("positions")
+        pos_offs = pos.offsets.to_numpy(zero_copy_only=False)
+        page_flat = pos.flatten().field("page_no").to_numpy(zero_copy_only=False)
+        n_pages = np.zeros(n, dtype=np.int64)
+        for d in range(n):  # ints only; spans may be empty for error docs
+            last_pos_end = pos_offs[meta_offs[d + 1]] if meta_offs[d + 1] > meta_offs[d] else -1
+            if last_pos_end > 0:
+                n_pages[d] = page_flat[last_pos_end - 1]
+        parent = np.repeat(np.arange(n), n_pages)
+        offs = np.concatenate([[0], np.cumsum(n_pages)])
+        page_nos = np.arange(len(parent)) - offs[parent] + 1
+        ids = doc_id.take(pa.array(parent)).to_pylist()
+        blobs = [_codec.encode_page_render(d, int(p))
+                 for d, p in zip(ids, page_nos)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "page_no": pa.array(page_nos, pa.int32()),
+            "media_ref": pa.array([_codec.media_ref_of(x) for x in blobs],
+                                  pa.string()),
+            "content_type": pa.array(["page/x-synth"] * len(blobs), pa.string()),
+            "width": pa.array([_codec.PAGE_W] * len(blobs), pa.int32()),
+            "height": pa.array([_codec.PAGE_H] * len(blobs), pa.int32()),
+            "data": pa.array(blobs, pa.large_binary()),
+        })
+
+    return extracted.map_batches(pages, batch_format="pyarrow")
 
 
 def run_extraction(source, out_dir: str, cfg: ExtractConfig | None = None,
@@ -322,4 +381,12 @@ def run_extraction(source, out_dir: str, cfg: ExtractConfig | None = None,
         t.join()
     if errors:
         raise errors[0]
+    if cfg.page_screenshots:
+        if not cfg.emit_layout:
+            raise ValueError("page_screenshots requires emit_layout=True")
+        # second pruned pass over the WRITTEN docs (doc_id + spans_meta only
+        # leave storage) — no re-extraction, streams block by block
+        pages = build_page_screenshots(
+            rd.read_parquet(docs_dir, columns=["doc_id", "spans_meta"]))
+        pages.write_parquet(os.path.join(out_dir, "pages"))
     return docs_dir

@@ -858,6 +858,18 @@ def q_table_cells(sf_dir):
     return media.map_batches(shape, batch_format="pyarrow")
 
 
+def q_page_screenshots(sf_dir):
+    """I1 surface: per-page synthetic screenshot records over the flagship
+    corpus (rows-only; blob/ref/page-count semantics are pinned by the
+    oracle-parity pytest)."""
+    from .extract import (ExtractConfig, build_extraction,
+                          build_page_screenshots)
+
+    out = build_extraction(_interleaved_corpus(sf_dir),
+                           ExtractConfig(split_threshold=500, chunk_size=200))
+    return build_page_screenshots(out).drop_columns(["data"])
+
+
 def q_near_dedup_resolve(sf_dir):
     """End-to-end near-dedup over documents: MinHash-LSH pairs → connected
     components → keep min-id representative per cluster."""
@@ -1033,6 +1045,7 @@ QUERIES = {
     "span_positions": (q_span_positions, None),
     "span_fragments": (q_span_fragments, SQL_SPAN_FRAGMENTS),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
+    "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),
     "media_decode_stats": (q_media_decode_stats, None),

@@ -107,7 +107,7 @@ class ParseStage:
     def __init__(self, mode: str = "whole", media_dir: str | None = None,
                  engine_effort: int = 0, media_format: str = codec.DEFAULT_FORMAT,
                  media_quality: int = codec.DEFAULT_QUALITY,
-                 ocr_pipeline: str = "hybrid"):
+                 media_scale: int = 1, ocr_pipeline: str = "hybrid"):
         assert mode in ("whole", "chunks")
         assert ocr_pipeline in ("fast", "full", "hybrid")  # SPEC §6a (M2 config)
         from ..core import limit_arrow_threads
@@ -120,6 +120,7 @@ class ParseStage:
         # equality invariant assumes; non-default knobs change refs/bytes
         # deterministically (JPEG/PNG/quality analog)
         self.media_format, self.media_quality = media_format, media_quality
+        self.media_scale = media_scale
         # Warm engine state (reference: lru_cache'd converters, dl_converter.py:29).
         self.clean = tc.clean_text
         # Calibrated per-span inference cost emulation. The real engines behind
@@ -231,7 +232,8 @@ class ParseStage:
                             dec = codec.decode_payload(data)
                             canonical = codec.reencode(dec, self.clean,
                                                        self.media_format,
-                                                       self.media_quality)
+                                                       self.media_quality,
+                                                       self.media_scale)
                             ref_out = codec.media_ref_of(canonical)
                             self.store.put(ref_out, canonical)
                             ocr = codec.ocr_text(dec)

@@ -106,3 +106,53 @@ def test_ocr_pipeline_modes_match_oracle():
     full = _seqs([oracle.extract_doc(r, ocr_pipeline="full") for r in rows])
     fast = _seqs([oracle.extract_doc(r, ocr_pipeline="fast") for r in rows])
     assert full != fast
+
+
+def test_media_scale_knob():
+    """I3 image_scale analog: scaled dims in the re-encoded blob, tables
+    unaffected, invalid scale rejected."""
+    img = codec.DecodedImage(64, 32, "some text")
+    base = codec.reencode(img, oracle.clean)
+    s2 = codec.reencode(img, oracle.clean, scale=2)
+    dec = codec.decode_canonical(s2)
+    assert (dec.width, dec.height, dec.text) == (128, 64, "some text")
+    assert codec.media_ref_of(s2) != codec.media_ref_of(base)
+    assert codec.reencode(img, oracle.clean, scale=2) == s2  # deterministic
+    tbl = codec.DecodedTable([["a", 1, None]])
+    assert codec.reencode(tbl, oracle.clean, scale=3) == codec.reencode(tbl, oracle.clean)
+    with pytest.raises(ValueError):
+        codec.reencode(img, oracle.clean, scale=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_page_screenshots_match_oracle():
+    """SPEC §7 page screenshot records: one per laid-out page, blob and ref
+    reconstructed independently from the oracle's layout."""
+    import hashlib
+    import struct
+    import zlib
+
+    from document_processor_ray.pipelines.extract import build_page_screenshots
+
+    corpus = gen_corpus(120, seed=55, giant_rate=0.03)
+    out = build_extraction(
+        corpus, ExtractConfig(split_threshold=80, chunk_size=30))
+    got: dict[str, list] = {}
+    for r in build_page_screenshots(out).take_all():
+        got.setdefault(r["doc_id"], []).append(r)
+    total = 0
+    for row in corpus.to_pylist():
+        exp = oracle.extract_doc(row)
+        metas = oracle.layout_of(exp["spans"])
+        n_pages = max((p["page_no"] for m in metas for p in m["positions"]),
+                      default=0)
+        mine = sorted(got.get(row["doc_id"], []), key=lambda r: r["page_no"])
+        assert [r["page_no"] for r in mine] == list(range(1, n_pages + 1))
+        for r in mine:
+            blob = (b"EPAG1\0" + struct.pack("<II", 612, 792)
+                    + zlib.compress(f"{row['doc_id']}\0{r['page_no']}".encode(), 9))
+            assert r["data"] == blob
+            assert r["media_ref"] == "media://" + hashlib.sha256(blob).hexdigest()[:16]
+            assert (r["width"], r["height"], r["content_type"]) == (612, 792, "page/x-synth")
+        total += n_pages
+    assert total > 120  # corpus exercises multi-page docs
