@@ -80,9 +80,11 @@ class LangId:
     no per-row/per-token Python loop. Tie semantics match the scalar spec:
     profiles in sorted language order, first maximum wins."""
 
-    def __init__(self, text_col: str = "text", min_ratio: float = 0.03):
+    def __init__(self, text_col: str = "text", min_ratio: float = 0.03,
+                 emit_n_toks: bool = False):
         self.text_col = text_col
         self.min_ratio = min_ratio
+        self.emit_n_toks = emit_n_toks  # integer token count (SQL-checkable)
         # complement split of the scalar tokenizer [a-zà-ÿäöüßñ']+ (same
         # codepoint-class semantics in RE2 and Python re)
         self.sep_pat = r"[^a-zà-ÿäöüßñ']+"
@@ -96,8 +98,11 @@ class LangId:
         limit_arrow_threads(1)
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("pred_lang", pa.array([], pa.string())) \
-                        .append_column("lang_score", pa.array([], pa.float64()))
+            out = batch.append_column("pred_lang", pa.array([], pa.string())) \
+                       .append_column("lang_score", pa.array([], pa.float64()))
+            if self.emit_n_toks:
+                out = out.append_column("n_toks", pa.array([], pa.int64()))
+            return out
         col = batch[self.text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -119,9 +124,13 @@ class LangId:
         best_idx = np.argmax(ratios, axis=0)  # first max == scalar strict-> loop
         best = ratios[best_idx, np.arange(n)]
         preds = np.where(best >= self.min_ratio, self.langs[best_idx], "und")
-        return batch.append_column(
+        out = batch.append_column(
             "pred_lang", pa.array(preds.tolist(), pa.string())
         ).append_column("lang_score", pa.array(np.round(best, 6), pa.float64()))
+        if self.emit_n_toks:
+            out = out.append_column(
+                "n_toks", pa.array(ntok.astype(np.int64), pa.int64()))
+        return out
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 8,

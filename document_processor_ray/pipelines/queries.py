@@ -176,6 +176,47 @@ def q_langid(sf_dir):
     ).drop_columns(["text"])
 
 
+def q_langid_pred(sf_dir):
+    """SQL-hash-checkable language-ID surface: integer token counts + the
+    argmax-stopword prediction (lang_score is dropped — its rounding is not
+    bit-stable across engines, while pred/n_toks are exact)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.LangId, fn_constructor_kwargs={"emit_n_toks": True},
+        batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "pred_lang", "n_toks"])
+
+
+def _sql_in_list(words):
+    return ",".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+# DuckDB mirror of textstats.LangId: same RE2 tokenizer, same stopword sets,
+# ratios as exact int/int -> double divisions, first-max tie order (de,en,es,fr)
+SQL_LANGID_PRED = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-zà-ÿäöüßñ'']+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+r AS (
+  SELECT doc_id, len(toks) AS n_toks,
+    len(list_filter(toks, x -> x IN ({_sql_in_list(ts._PROFILES['de'])}))) / greatest(len(toks), 1) AS r_de,
+    len(list_filter(toks, x -> x IN ({_sql_in_list(ts._PROFILES['en'])}))) / greatest(len(toks), 1) AS r_en,
+    len(list_filter(toks, x -> x IN ({_sql_in_list(ts._PROFILES['es'])}))) / greatest(len(toks), 1) AS r_es,
+    len(list_filter(toks, x -> x IN ({_sql_in_list(ts._PROFILES['fr'])}))) / greatest(len(toks), 1) AS r_fr
+  FROM t)
+SELECT doc_id, n_toks,
+  CASE WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr
+         THEN (CASE WHEN r_de >= 0.03 THEN 'de' ELSE 'und' END)
+       WHEN r_en >= r_es AND r_en >= r_fr
+         THEN (CASE WHEN r_en >= 0.03 THEN 'en' ELSE 'und' END)
+       WHEN r_es >= r_fr
+         THEN (CASE WHEN r_es >= 0.03 THEN 'es' ELSE 'und' END)
+       ELSE (CASE WHEN r_fr >= 0.03 THEN 'fr' ELSE 'und' END) END AS pred_lang
+FROM r
+"""
+
+
 def q_quality(sf_dir):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.quality_batch, batch_format="pyarrow"
@@ -547,6 +588,51 @@ SQL_EVENTS_BEFORE_ORDER = """
 SELECT o_orderkey,
        (SELECT count(*) FROM events e WHERE e.ts <= o.o_orderdate) AS n_events_before
 FROM orders o
+"""
+
+
+def q_event_last_order(sf_dir):
+    """As-of join: for every event, the most recent order AS OF its timestamp
+    (latest o_orderdate <= ts; deterministic tie-break = max o_orderkey per
+    date). Plumbing mirrors q_events_before_order's scale shape: order dates
+    are bounded (one per calendar day), so the (date, key) table reduces via a
+    tiny groupby and broadcasts; the event side streams through one vectorized
+    searchsorted probe — the fact table never leaves the cluster and there is
+    no all-to-all shuffle. Events before the first order date drop (inner
+    as-of)."""
+    per_date = (_t(sf_dir, "orders", ["o_orderdate", "o_orderkey"])
+                .groupby("o_orderdate")
+                .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+                .take_all())  # <= one row per distinct order date — tiny
+    per_date.sort(key=lambda r: r["o_orderdate"])
+    cuts = np.array([np.datetime64(r["o_orderdate"], "us") for r in per_date],
+                    dtype="datetime64[us]").astype(np.int64)
+    keys = np.array([r["o_orderkey"] for r in per_date], dtype=np.int64)
+    ref = ray.put((cuts, keys))
+
+    def probe(b: pa.Table) -> pa.Table:
+        c, k = ray.get(ref)
+        ts_us = pc.cast(b["ts"], pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        pos = np.searchsorted(c, ts_us, side="right") - 1  # latest date <= ts
+        keep = pos >= 0
+        eid = b["event_id"]
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        return pa.table({
+            "event_id": eid.take(pa.array(np.flatnonzero(keep))),
+            "o_orderkey": pa.array(k[pos[keep]], pa.int64()),
+        })
+
+    return _t(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        probe, batch_format="pyarrow")
+
+
+SQL_EVENT_LAST_ORDER = """
+WITH d AS (SELECT o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1)
+SELECT e.event_id, d.o_orderkey
+FROM events e ASOF JOIN d ON e.ts >= d.o_orderdate
 """
 
 
@@ -1016,6 +1102,7 @@ QUERIES = {
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_lsh": (q_embedding_dup_lsh, None),
     "langid": (q_langid, None),
+    "langid_pred": (q_langid_pred, SQL_LANGID_PRED),
     "quality": (q_quality, None),
     "fingerprint": (q_fingerprint, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
@@ -1036,6 +1123,7 @@ QUERIES = {
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
     "customer_order_nations": (q_customer_order_nations, SQL_CUSTOMER_ORDER_NATIONS),
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
+    "event_last_order": (q_event_last_order, SQL_EVENT_LAST_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
