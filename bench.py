@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     # round 2 additions
     "customer_order_nations", "events_before_order", "span_positions",
     "table_cells", "page_layout",
+    # round 3 additions
+    "span_fragments", "langid_pred", "event_last_order", "page_screenshots",
 ]
 
 
