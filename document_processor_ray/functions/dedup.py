@@ -302,13 +302,22 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, k: int = 64, bands: int = 16,
 
 
 class SimHasher:
-    """64-bit SimHash signatures (Charikar'02) from word-frequency vectors."""
+    """64-bit SimHash signatures (Charikar'02) from word-frequency vectors.
+
+    Batch path is fully vectorized: one Arrow tokenize + unique-token hashing
+    (``_flat_token_hashes`` — blake2b-8, identical to ``_stable_u64``), then
+    per-(doc, token) multiplicities via one lexsort-free ``np.unique`` over
+    (parent, dict-index) pairs and a scatter-add of signed bit contributions —
+    sum order never matters (integer adds), so output is bit-identical to the
+    scalar reference path."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.bit_cols = np.arange(64, dtype=np.uint64)
+        self._tok_cache: dict[str, int] = {}
 
     def simhash(self, text: str) -> int:
+        """Scalar reference path (kept for tests; __call__ does not use it)."""
         toks = (text or "").split()
         if not toks:
             return 0
@@ -319,12 +328,45 @@ class SimHasher:
         return int(((acc > 0).astype(np.uint64) << self.bit_cols).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch[self.id_col],
-            "simhash": pa.array(
-                [self.simhash(t) for t in batch[self.text_col].to_pylist()],
-                pa.uint64()),
-        })
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": ids, "simhash": pa.array([], pa.uint64())})
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "")
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)[
+            nonempty.to_numpy(zero_copy_only=False).astype(bool)]
+        denc = flat.filter(nonempty).dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        cache = self._tok_cache
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            hv = cache.get(t)
+            if hv is None:
+                hv = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                if len(cache) < 1_000_000:
+                    cache[t] = hv
+            uh[i] = hv
+        didx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-(doc, token) multiplicities in one pass
+        pairs, counts = np.unique(par * (len(uniq) + 1) + didx, return_counts=True)
+        p_doc = pairs // (len(uniq) + 1)
+        p_tok = pairs % (len(uniq) + 1)
+        bits = ((uh[p_tok][:, None] >> self.bit_cols[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+        contrib = (bits * 2 - 1) * counts[:, None].astype(np.int64)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, p_doc, contrib)
+        sims = ((acc > 0).astype(np.uint64) << self.bit_cols[None, :]).sum(axis=1)
+        # empty docs: their acc row stays all-zero -> simhash 0, like the scalar path
+        return pa.table({"doc_id": ids, "simhash": pa.array(sims, pa.uint64())})
 
 
 def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 3, text_col: str = "text",

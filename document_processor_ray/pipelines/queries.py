@@ -132,6 +132,41 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_token_freq(sf_dir):
+    """Corpus-wide heavy hitters: top-50 tokens by frequency. Pre-aggregation
+    pattern — each batch emits its own (token, count) partials (one Arrow
+    tokenize + value_counts, no Python loop), so the shuffle carries counts,
+    never token streams; a tiny groupby-sum + sort/limit finishes. Ties break
+    by token ascending (deterministic)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counted = (_docs(sf_dir, ["text"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("tok").aggregate(Sum("n", alias_name="n")))
+    return (_cast_int64(counted, ["n"])
+            .sort(["n", "tok"], descending=[True, False]).limit(50))
+
+
+SQL_TOKEN_FREQ = """
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents)
+SELECT tok, count(*) AS n FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+"""
+
+
 def q_exact_dedup(sf_dir):
     return dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -172,7 +207,7 @@ def q_embedding_dup_lsh(sf_dir):
 
 def q_langid(sf_dir):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ts.LangId, batch_format="pyarrow", concurrency=(1, 4)
+        ts.LangId, batch_format="pyarrow", concurrency=(1, 8)
     ).drop_columns(["text"])
 
 
@@ -182,7 +217,7 @@ def q_langid_pred(sf_dir):
     bit-stable across engines, while pred/n_toks are exact)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.LangId, fn_constructor_kwargs={"emit_n_toks": True},
-        batch_format="pyarrow", concurrency=(1, 4)
+        batch_format="pyarrow", concurrency=(1, 8)
     ).select_columns(["doc_id", "pred_lang", "n_toks"])
 
 
@@ -1097,6 +1132,7 @@ QUERIES = {
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),

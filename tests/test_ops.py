@@ -231,3 +231,18 @@ def test_minhash_batch_path_equals_scalar_reference():
     ref = MinHashSigner()
     for t, blob in zip(texts, out["sig"].to_pylist()):
         assert np.array_equal(ref.signature(t), np.frombuffer(blob, np.uint64))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_batch_path_equals_scalar_reference():
+    import pyarrow as pa
+
+    from document_processor_ray.functions.dedup import SimHasher
+
+    texts = ["", "   ", "one", "one one two", "a b a b a c", None,
+             "the quick brown fox " * 30, "x\ty\nz"]
+    batch = pa.table({"doc_id": pa.array([str(i) for i in range(len(texts))]),
+                      "text": pa.array(texts)})
+    out = SimHasher()(batch)
+    ref = SimHasher()
+    assert out["simhash"].to_pylist() == [ref.simhash(t) for t in texts]
