@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "table_cells", "page_layout",
     # round 3 additions
     "span_fragments", "langid_pred", "event_last_order", "page_screenshots",
+    "order_rank_delta", "lineitem_running_qty", "benchmark_overlap",
+    "customers_no_orders", "regional_volume",
 ]
 
 

@@ -57,6 +57,32 @@ def deterministic_sample(ds: rd.Dataset, key_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def stratified_sample(ds: rd.Dataset, key_col: str, strata_col: str,
+                      rates: dict[str, int],
+                      default_bytes: int = 0) -> rd.Dataset:
+    """Per-stratum deterministic sample: stratum s keeps ``rates[s]``/256 of
+    its rows (rows of strata not in ``rates`` keep ``default_bytes``/256).
+    Same md5-of-key membership as ``deterministic_sample``, so the sample is
+    reproducible under repartitioning AND a row's membership never depends on
+    which stratum batch it arrives in. Stateless map_batches filter, no
+    shuffle. SQL mirror: ``substr(md5(CAST(key AS VARCHAR)),1,2) <
+    CASE strata WHEN ... THEN '<hex>' ... ELSE '<hex>' END``."""
+    names = pa.array(list(rates.keys()), pa.string())
+    widths = np.array(list(rates.values()), dtype=np.uint16)
+
+    def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # index_in yields NULL (not -1) for strata outside `rates`
+        idx = pc.fill_null(pc.index_in(b[strata_col], value_set=names),
+                           -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.where(idx >= 0, widths[np.maximum(idx, 0)],
+                       default_bytes).astype(np.uint16)
+        return b.filter(pa.array(_key_bytes(b[key_col]) < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def deterministic_split(ds: rd.Dataset, key_col: str,
                         splits: dict[str, int] | None = None,
                         out_col: str = "split") -> rd.Dataset:

@@ -568,6 +568,100 @@ GROUP BY c_nationkey
 """
 
 
+def q_regional_volume(sf_dir):
+    """TPC-H Q5-shaped multi-join chain (lineitem ⋈ orders ⋈ customer ⋈ nation
+    ⋈ region) with aggregation PUSHED BELOW the joins: lineitem collapses to
+    per-orderkey partials before the first shuffle join, the joined result
+    collapses to per-custkey partials before the second — so both Dataset.join
+    exchanges move one row per key, never raw fact rows. Dimension tables
+    (nation 25, region 5) are broadcast probes; the date filter prunes the
+    orders side at the read."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    nparts = max(2, ncpu // 2)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("l_orderkey").aggregate([("l_quantity", "sum"),
+                                                ("l_quantity", "count")])
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "qty": pc.cast(pc.round(g["l_quantity_sum"]), pa.int64()),
+            "n": pc.cast(g["l_quantity_count"], pa.int64())})
+
+    per_order = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                 .map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="qty"),
+                            Sum("n", alias_name="n")))
+
+    def in_1996(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                       pc.less(b["o_orderdate"], hi))
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_1996, batch_format="pyarrow")
+
+    joined = _cast_int64(
+        orders.join(per_order, join_type="inner", num_partitions=nparts,
+                    on=("o_orderkey",), right_on=("l_orderkey",)),
+        ["qty", "n"])
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([("qty", "sum"), ("n", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "qty": pc.cast(g["qty_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("qty", alias_name="qty"),
+                           Sum("n", alias_name="n")))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    with_nat = _cast_int64(
+        per_cust.join(cust, join_type="inner", num_partitions=nparts,
+                      on=("o_custkey",), right_on=("c_custkey",)),
+        ["qty", "n"])
+
+    nname = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_name")
+    nreg = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_regionkey")
+    rname = _broadcast_cols(sf_dir, "region", "r_regionkey", "r_name")
+
+    def dims(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": _probe_cols(rname, _probe_cols(nreg, b["c_nationkey"])),
+            "n_name": _probe_cols(nname, b["c_nationkey"]),
+            "qty": b["qty"], "n": b["n"]})
+
+    return _cast_int64(
+        with_nat.map_batches(dims, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("n", alias_name="n_items")),
+        ["sum_qty", "n_items"])
+
+
+SQL_REGIONAL_VOLUME = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+
 def q_events_before_order(sf_dir):
     """Range join with NO driver materialization of the fact side: for each
     order, count events with ts <= o_orderdate. Plumbing (exact):
@@ -731,6 +825,29 @@ WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def q_stratified_customers(sf_dir):
+    """Stratified deterministic sample (class-rebalancing op for training
+    data): BUILDING keeps ~20% (51/256), MACHINERY ~5% (13/256), every other
+    segment ~1.2% (3/256). Hash-checked on the sampled MEMBERSHIP itself —
+    the returned (key, stratum) rows — not just counts. Stateless filter,
+    no shuffle."""
+    from ..functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey", "c_mktsegment",
+        rates={"BUILDING": 51, "MACHINERY": 13}, default_bytes=3)
+
+
+SQL_STRATIFIED_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
+      CASE c_mktsegment WHEN 'BUILDING' THEN '33'
+                        WHEN 'MACHINERY' THEN '0d'
+                        ELSE '03' END
+"""
+
+
 def q_split_counts(sf_dir):
     """Deterministic train/valid/test split assignment (leak-proof under any
     repartitioning), aggregated to per-split counts."""
@@ -773,6 +890,217 @@ SQL_MEDIAN_PRICE_BY_SEGMENT = """
 SELECT c_mktsegment, median(o_totalprice) AS median_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+"""
+
+
+def q_p90_price_by_segment(sf_dir):
+    """Grouped quantile (p90): exact order statistic at pos q*(n-1) with
+    DuckDB quantile_cont's interpolation form lo*(1-f) + hi*f (numpy's
+    lo+(hi-lo)*f differs by 1 ulp on some groups — measured). Same 5-group
+    map_groups shape as the median (low-cardinality key)."""
+    import pandas as pd
+
+    ref = _broadcast_cols(sf_dir, "customer", "c_custkey", "c_mktsegment")
+
+    def join(b: pa.Table) -> pa.Table:
+        return pa.table({"c_mktsegment": _probe_cols(ref, b["o_custkey"]),
+                         "o_totalprice": b["o_totalprice"]})
+
+    def p90(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["o_totalprice"].to_numpy())
+        pos = 0.9 * (len(s) - 1)
+        lo = int(np.floor(pos))
+        f = pos - lo
+        hi = min(lo + 1, len(s) - 1)
+        val = s[lo] * (1 - f) + s[hi] * f
+        return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                             "p90_price": [float(val)]})
+
+    return (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("c_mktsegment").map_groups(p90, batch_format="pandas"))
+
+
+SQL_P90_PRICE_BY_SEGMENT = """
+SELECT c_mktsegment, quantile_cont(o_totalprice, 0.9) AS p90_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions (ANSI analytic semantics, SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_order_rank_delta(sf_dir):
+    """ROW_NUMBER + LAG date delta per customer order history: one coarse
+    shuffle on the hashed partition key, then segment-vectorized window
+    kernels (functions/analytic.py) over all customers of a bucket at once.
+    gap_days = days since the customer's previous order (-1 for the first)."""
+    from ..functions import analytic as an
+
+    def mk(st, first, seg_start):
+        days = (st["o_orderdate"].combine_chunks().cast(pa.int64())
+                .to_numpy() // 86_400_000_000)
+        gap = np.where(first, -1, days - an.lag(days, first, 0))
+        return {"rn": pa.array(an.row_number(first, seg_start)),
+                "gap_days": pa.array(gap)}
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    return an.windowed(ds, "o_custkey", ["o_orderdate", "o_orderkey"], mk
+                       ).drop_columns(["o_orderdate"])
+
+
+SQL_ORDER_RANK_DELTA = """
+SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER w AS rn,
+       coalesce(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1)
+           AS gap_days
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_lineitem_running_qty(sf_dir):
+    """Running SUM with the ANSI-default RANGE frame: (l_orderkey,
+    l_linenumber) is NOT unique in this data, so ORDER BY ties are peers and
+    every peer row carries the sum through its peer group's end — matching
+    DuckDB's default window frame exactly (ROWS semantics would be
+    nondeterministic here)."""
+    from ..functions import analytic as an
+
+    def mk(st, first, seg_start):
+        qty = st["l_quantity"].combine_chunks().to_numpy().astype(np.int64)
+        fp = an.peer_first_mask(st, first, ["l_linenumber"])
+        return {"cum_qty": pa.array(an.running_sum_range(qty, seg_start, fp))}
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    return an.windowed(ds, "l_orderkey", ["l_linenumber"], mk
+                       ).drop_columns(["l_quantity"])
+
+
+SQL_LINEITEM_RUNNING_QTY = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) OVER
+            (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS cum_qty
+FROM lineitem
+"""
+
+
+def q_customers_no_orders(sf_dir):
+    """Distributed anti-join (NOT EXISTS): customers with no order in 1995,
+    counted per nation. The exclusion set (1995 buyers) co-partitions with the
+    customer side via groupops.anti_join_ids — the scale path when the id set
+    is too large to broadcast; the 25-row nation name is a broadcast probe."""
+    from ..core.groupops import anti_join_ids
+
+    def in_1995(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                       pc.less(b["o_orderdate"], hi))
+        return b.filter(keep).select(["o_custkey"])
+
+    buyers = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        in_1995, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    no_orders = anti_join_ids(cust, buyers, "c_custkey", ids_col="o_custkey")
+
+    ref = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_name")
+
+    def name(b: pa.Table) -> pa.Table:
+        return pa.table({"n_name": _probe_cols(ref, b["c_nationkey"])})
+
+    return (no_orders.map_batches(name, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Count(alias_name="n_customers")))
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01')
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + normalization (LLM-pipeline ops, SQL-checked)
+# ---------------------------------------------------------------------------
+
+_BENCH_MAX_DOC_ID = 20  # docs below this id form the "benchmark" eval set
+_DECONTAM_N = 8
+
+
+def q_benchmark_overlap(sf_dir):
+    """Training-data decontamination: 8-token-gram overlap of every corpus doc
+    (doc_id >= 20) against the benchmark docs (doc_id < 20). Benchmark gram
+    set is tiny by nature -> built from a bounded predicate-pushdown read and
+    broadcast via ray.put; the corpus side is ONE shuffle-free map_batches
+    pass with C-level tokenize/join/hash-probe (functions/decontam.py)."""
+    from ..functions import decontam as dc
+
+    bench = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"],
+                          filters=[("doc_id", "<", _BENCH_MAX_DOC_ID)])
+    ref = ray.put(dc.build_benchmark_grams(bench["text"], n=_DECONTAM_N))
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["doc_id"], _BENCH_MAX_DOC_ID))
+        return dc.overlap_batch(b, ray.get(ref), n=_DECONTAM_N)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+SQL_BENCHMARK_OVERLAP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(t)-7, 0))]) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_overlap,
+       CAST(count(b.gram) > 0 AS BIGINT) AS contaminated
+FROM g LEFT JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id >= 20
+GROUP BY g.doc_id
+"""
+
+
+def q_norm_text(sf_dir):
+    """Text normalization (lowercase -> NFC -> whitespace-run collapse ->
+    space trim), hash-checked on the normalized STRINGS themselves. All Arrow
+    C kernels; no shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.utf8_normalize(pc.utf8_lower(t), form="NFC")
+        t = pc.replace_substring_regex(t, pattern=r"[ \t\n\r\f]+",
+                                       replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({"doc_id": b["doc_id"], "norm_text": t,
+                         "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+SQL_NORM_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\r\f]+', ' ', 'g'),
+            ' ') AS norm_text,
+       length(trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\r\f]+',
+                                  ' ', 'g'), ' ')) AS n_chars_norm
+FROM documents
 """
 
 
@@ -1161,9 +1489,17 @@ QUERIES = {
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
     "event_last_order": (q_event_last_order, SQL_EVENT_LAST_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
+    "p90_price_by_segment": (q_p90_price_by_segment, SQL_P90_PRICE_BY_SEGMENT),
+    "order_rank_delta": (q_order_rank_delta, SQL_ORDER_RANK_DELTA),
+    "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "regional_volume": (q_regional_volume, SQL_REGIONAL_VOLUME),
+    "benchmark_overlap": (q_benchmark_overlap, SQL_BENCHMARK_OVERLAP),
+    "norm_text": (q_norm_text, SQL_NORM_TEXT),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
+    "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
     "span_positions": (q_span_positions, None),

@@ -7,7 +7,8 @@ import pytest
 import ray.data as rd
 
 from document_processor_ray.functions.sampling import (deterministic_sample,
-                                                       deterministic_split)
+                                                       deterministic_split,
+                                                       stratified_sample)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -40,6 +41,27 @@ def test_split_partitions_every_row_once():
 
     with pytest.raises(ValueError):
         deterministic_split(ds, "k", splits={"a": 200, "b": 100})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_equals_per_stratum_flat_sample():
+    """Per-stratum membership must equal running deterministic_sample at that
+    stratum's rate over the stratum alone — and be repartition-invariant."""
+    items = [{"k": i, "s": ["a", "b", "c"][i % 3]} for i in range(3000)]
+    ds = rd.from_items(items)
+    rates = {"a": 64, "b": 13}
+    got = {(r["k"], r["s"])
+           for r in stratified_sample(ds, "k", "s", rates,
+                                      default_bytes=3).take_all()}
+    for s, width in [("a", 64), ("b", 13), ("c", 3)]:
+        sub = rd.from_items([r for r in items if r["s"] == s])
+        want = {(r["k"], s) for r in
+                deterministic_sample(sub, "k", keep_bytes=width).take_all()}
+        assert {g for g in got if g[1] == s} == want
+    got2 = {(r["k"], r["s"])
+            for r in stratified_sample(ds.repartition(11), "k", "s", rates,
+                                       default_bytes=3).take_all()}
+    assert got2 == got
 
 
 @pytest.mark.usefixtures("ray_session")
