@@ -570,64 +570,90 @@ GROUP BY c_nationkey
 
 def q_regional_volume(sf_dir):
     """TPC-H Q5-shaped multi-join chain (lineitem ⋈ orders ⋈ customer ⋈ nation
-    ⋈ region) with aggregation PUSHED BELOW the joins: lineitem collapses to
-    per-orderkey partials before the first shuffle join, the joined result
-    collapses to per-custkey partials before the second — so both Dataset.join
-    exchanges move one row per key, never raw fact rows. Dimension tables
-    (nation 25, region 5) are broadcast probes; the date filter prunes the
-    orders side at the read."""
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        ncpu = 8
-    nparts = max(2, ncpu // 2)
+    ⋈ region) rebuilt on TWO co-partitioned exchanges instead of five heavy
+    operators (3× hash Aggregate + 2× Dataset.join): each Ray 2.49
+    Aggregate/Join operator pays its own sort/actor-pool startup, and at
+    100 TB each extra exchange is another all-to-all pass over the fact data.
+    Stage A (one coarse shuffle on orderkey): per-batch lineitem partials and
+    the date-filtered orders co-partition via a tagged union; the partition fn
+    finishes the per-order reduction AND probes o_custkey — aggregation and
+    join fused into one pass, one row per 1996 order out. Stage B (one coarse
+    shuffle on custkey): those rows co-partition with customer (big at scale,
+    so co-partitioned, NOT broadcast); the partition fn probes c_nationkey and
+    pre-collapses to per-nation partials (≤25 rows/partition). Nation/region
+    stay broadcast probes; the final groupby touches ~n_parts×25 rows."""
+    from ..core.groupops import grouped_reduce
 
     def li_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("l_orderkey").aggregate([("l_quantity", "sum"),
-                                                ("l_quantity", "count")])
-        return pa.table({
-            "l_orderkey": g["l_orderkey"],
-            "qty": pc.cast(pc.round(g["l_quantity_sum"]), pa.int64()),
-            "n": pc.cast(g["l_quantity_count"], pa.int64())})
-
-    per_order = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-                 .map_batches(li_partial, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("qty", alias_name="qty"),
-                            Sum("n", alias_name="n")))
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        g = pa.table({"k": b["l_orderkey"], "qty": qty}).group_by("k").aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        n = len(g)
+        return pa.table({"k": pc.cast(g["k"], pa.int64()),
+                         "qty": g["qty_sum"],
+                         "n": pc.cast(g["qty_count"], pa.int64()),
+                         "cust": pa.nulls(n, pa.int64()),
+                         "src": pa.array(["l"] * n)})
 
     def in_1996(b: pa.Table) -> pa.Table:
         lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
         hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
         keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
                        pc.less(b["o_orderdate"], hi))
-        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+        b = b.filter(keep)
+        n = b.num_rows
+        return pa.table({"k": pc.cast(b["o_orderkey"], pa.int64()),
+                         "qty": pa.nulls(n, pa.int64()),
+                         "n": pa.nulls(n, pa.int64()),
+                         "cust": pc.cast(b["o_custkey"], pa.int64()),
+                         "src": pa.array(["r"] * n)})
 
-    orders = _t(sf_dir, "orders",
-                ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        in_1996, batch_format="pyarrow")
+    tagged_a = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                .map_batches(li_partial, batch_format="pyarrow")
+                .union(_t(sf_dir, "orders",
+                          ["o_orderkey", "o_custkey", "o_orderdate"])
+                       .map_batches(in_1996, batch_format="pyarrow")))
 
-    joined = _cast_int64(
-        orders.join(per_order, join_type="inner", num_partitions=nparts,
-                    on=("o_orderkey",), right_on=("l_orderkey",)),
-        ["qty", "n"])
+    def reduce_probe_order(t: pa.Table) -> pa.Table:
+        left = t.filter(pc.equal(t["src"], "l"))
+        right = t.filter(pc.equal(t["src"], "r"))
+        g = left.select(["k", "qty", "n"]).group_by("k").aggregate(
+            [("qty", "sum"), ("n", "sum")])
+        idx = pc.index_in(g["k"], value_set=right["k"].combine_chunks())
+        cust = right["cust"].combine_chunks().take(idx)
+        out = pa.table({"k": cust, "qty": g["qty_sum"], "n": g["n_sum"],
+                        "cust": pa.nulls(len(g), pa.int64()),
+                        "src": pa.array(["l"] * len(g))})
+        return out.filter(pc.is_valid(cust))
 
-    def cust_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("o_custkey").aggregate([("qty", "sum"), ("n", "sum")])
-        return pa.table({"o_custkey": g["o_custkey"],
-                         "qty": pc.cast(g["qty_sum"], pa.int64()),
-                         "n": pc.cast(g["n_sum"], pa.int64())})
+    per_order = grouped_reduce(tagged_a, ["k"], reduce_probe_order,
+                               batch_format="pyarrow")
 
-    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("qty", alias_name="qty"),
-                           Sum("n", alias_name="n")))
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"k": pc.cast(b["c_custkey"], pa.int64()),
+                         "qty": pa.nulls(n, pa.int64()),
+                         "n": pa.nulls(n, pa.int64()),
+                         "cust": pc.cast(b["c_nationkey"], pa.int64()),
+                         "src": pa.array(["r"] * n)})
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    with_nat = _cast_int64(
-        per_cust.join(cust, join_type="inner", num_partitions=nparts,
-                      on=("o_custkey",), right_on=("c_custkey",)),
-        ["qty", "n"])
+    tagged_b = per_order.union(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(tag_cust, batch_format="pyarrow"))
+
+    def probe_nation_partial(t: pa.Table) -> pa.Table:
+        left = t.filter(pc.equal(t["src"], "l"))
+        right = t.filter(pc.equal(t["src"], "r"))
+        idx = pc.index_in(left["k"], value_set=right["k"].combine_chunks())
+        nat = right["cust"].combine_chunks().take(idx)
+        keep = pa.table({"nat": nat, "qty": left["qty"], "n": left["n"]}
+                        ).filter(pc.is_valid(nat))
+        g = keep.group_by("nat").aggregate([("qty", "sum"), ("n", "sum")])
+        return pa.table({"c_nationkey": g["nat"], "qty": g["qty_sum"],
+                         "n": g["n_sum"]})
+
+    with_nat = grouped_reduce(tagged_b, ["k"], probe_nation_partial,
+                              batch_format="pyarrow")
 
     nname = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_name")
     nreg = _broadcast_cols(sf_dir, "nation", "n_nationkey", "n_regionkey")
