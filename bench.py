@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     # round 3 additions
     "span_fragments", "langid_pred", "event_last_order", "page_screenshots",
     "order_rank_delta", "lineitem_running_qty", "benchmark_overlap",
-    "customers_no_orders", "regional_volume",
+    "customers_no_orders", "regional_volume", "tfidf_top_term", "bigram_freq",
 ]
 
 

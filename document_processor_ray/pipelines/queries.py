@@ -167,6 +167,198 @@ SELECT tok, count(*) AS n FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 50
 """
 
 
+def _arr(x) -> pa.Array:
+    """Normalize a column that may arrive as Array or ChunkedArray (Ray blocks
+    differ) to a single contiguous Array."""
+    return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+
+def _tf_pairs(sf_dir):
+    """(doc_id, tok, tf) term-frequency pairs, one vectorized pass: Arrow
+    tokenize per doc, dictionary-encode the flat token stream, and np.unique
+    over (row, token-code) composite keys — each doc lives wholly in one batch
+    row, so the batch-local count IS the final tf (no shuffle needed)."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        par = _arr(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary
+        comp = par.to_numpy(zero_copy_only=False).astype(np.int64) * len(vocab) + codes
+        uniq, tf = np.unique(comp, return_counts=True)
+        return pa.table({
+            "doc_id": b["doc_id"].take(pa.array(uniq // len(vocab))),
+            "tok": vocab.take(pa.array(uniq % len(vocab))),
+            "tf": pa.array(tf.astype(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow")
+
+
+def q_tfidf_top_term(sf_dir):
+    """TF-IDF-style scoring at corpus scale WITHOUT broadcasting the
+    vocabulary (at 100 TB the token→document-frequency map is itself huge):
+    two co-partitioned exchanges. Exchange 1 shuffles the (doc, tok, tf)
+    pairs by token; since every row of a token lands in one partition, the
+    document frequency is just the partition-local row count per token, and
+    it is appended in the same pass (pandas groupby-transform). Exchange 2
+    shuffles by doc and keeps each doc's top term by (tf desc, df asc — the
+    rarer term wins, the idf ordering — tok asc), a vectorized
+    sort + drop_duplicates per partition. Integer-ranked on purpose: float
+    tf*idf scores would break the cross-engine value hash."""
+    import pandas as pd
+
+    from ..core.groupops import grouped_reduce
+
+    def with_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("tok")["doc_id"].transform("size").astype("int64")
+        return g
+
+    scored = grouped_reduce(_tf_pairs(sf_dir), ["tok"], with_df)
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "tok"],
+                          ascending=[True, False, True, True], kind="mergesort")
+        g = g.drop_duplicates("doc_id", keep="first")
+        return g.rename(columns={"tok": "top_term"})[
+            ["doc_id", "top_term", "tf", "df"]]
+
+    return grouped_reduce(scored, ["doc_id"], top1)
+
+
+SQL_TFIDF_TOP_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+)
+SELECT doc_id, tok AS top_term, tf, df FROM (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rn
+  FROM tf t JOIN df d USING (tok)
+) WHERE rn = 1
+"""
+
+
+def q_bigram_freq(sf_dir):
+    """Top-20 bigrams: the n-gram extension of token_freq. Bigram extraction
+    is pure Arrow/numpy — adjacent flat-token pairs masked to same-document
+    adjacency (parent_indices equality), joined with
+    binary_join_element_wise — then the same partial value_counts →
+    groupby-sum → tiny sort/limit as token_freq: the shuffle carries
+    (bigram, count) partials, never token streams."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        par = _arr(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        p = par.to_numpy(zero_copy_only=False)
+        same = pa.array(p[:-1] == p[1:])
+        left = flat.slice(0, len(flat) - 1).filter(same)
+        right = flat.slice(1).filter(same)
+        big = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(big)
+        return pa.table({"bigram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counted = (_docs(sf_dir, ["text"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    return (_cast_int64(counted, ["n"])
+            .sort(["n", "bigram"], descending=[True, False]).limit(20))
+
+
+SQL_BIGRAM_FREQ = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS tokens
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(tokens) AS tok, unnest(range(len(tokens))) AS pos FROM tl
+), big AS (
+  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM toks
+)
+SELECT tok || ' ' || nxt AS bigram, count(*) AS n
+FROM big WHERE nxt IS NOT NULL
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_quantity_quantiles(sf_dir):
+    """Exact distributed discrete quantiles over a low-cardinality integer
+    domain: per-batch value_counts partials collapse the fact table to
+    (value, count) — the shuffle moves one row per distinct value per batch —
+    then a single-partition final pass walks the cumulative histogram.
+    DuckDB ``quantile_disc`` semantics pinned empirically: the value at
+    0-based index ceil(n*q)-1 of the sorted multiset, i.e. the smallest v
+    with cum_count >= ceil(n*q). (For high-cardinality/float domains the
+    scale path is a sketch, e.g. KLL — this operator is the exact companion
+    for bounded domains like quantities, ratings, status codes.)"""
+    QS = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        vc = pc.value_counts(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+        return pa.table({"v": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (_t(sf_dir, "lineitem", ["l_quantity"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")))
+
+    def pick(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(b["v"])
+        v = pc.take(b["v"], order).to_numpy(zero_copy_only=False)
+        n = pc.take(pc.cast(pc.round(b["n"]), pa.int64()), order).to_numpy(
+            zero_copy_only=False)
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+        qs, vals = [], []
+        for name, q in QS:
+            rank = int(np.ceil(total * q))
+            qs.append(name)
+            vals.append(int(v[np.searchsorted(cum, rank)]))
+        return pa.table({"q": pa.array(qs), "value": pa.array(vals, pa.int64())})
+
+    return hist.repartition(1).map_batches(pick, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+SQL_QUANTITY_QUANTILES = """
+SELECT 'p25' AS q, quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS value FROM lineitem
+UNION ALL SELECT 'p50', quantile_disc(CAST(l_quantity AS BIGINT), 0.50) FROM lineitem
+UNION ALL SELECT 'p75', quantile_disc(CAST(l_quantity AS BIGINT), 0.75) FROM lineitem
+UNION ALL SELECT 'p90', quantile_disc(CAST(l_quantity AS BIGINT), 0.90) FROM lineitem
+"""
+
+
 def q_exact_dedup(sf_dir):
     return dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -1487,6 +1679,9 @@ QUERIES = {
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
+    "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
+    "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
+    "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
