@@ -359,6 +359,42 @@ UNION ALL SELECT 'p90', quantile_disc(CAST(l_quantity AS BIGINT), 0.90) FROM lin
 """
 
 
+def q_term_search(sf_dir):
+    """Conjunctive retrieval over the persisted inverted index
+    (``functions/index.py``): build once per corpus (cached under /tmp keyed
+    by corpus path + row count), then answer ``spark AND window`` by reading
+    ONLY the ≤2 hash partitions the terms live in and intersecting posting
+    lists via a groupby-count — never a full-corpus scan per query, and never
+    a driver-side set intersection. The DuckDB mirror is the direct
+    full-scan predicate, so the hash check proves index build + pruned
+    lookup ≡ scan."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.index import build_inverted_index, search_index
+
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    tag = os.path.normpath(sf_dir).replace(os.sep, "_")
+    idx_dir = f"/tmp/graft_index/{tag}-{n_docs}"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+        with open(os.path.join(idx_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    return search_index(idx_dir, ["spark", "window"])
+
+
+SQL_TERM_SEARCH = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id FROM tl
+WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+"""
+
+
 def q_exact_dedup(sf_dir):
     return dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
@@ -1682,6 +1718,7 @@ QUERIES = {
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
+    "term_search": (q_term_search, SQL_TERM_SEARCH),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
