@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1183,6 +1184,142 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# Rollup / pivot / histogram / set ops (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_rollup(sf_dir):
+    """ROLLUP over (returnflag, linestatus): fine groups, per-flag subtotals
+    and a grand total, NULL markers spelled 'ALL' on both sides. One pass over
+    the fact table produces the fine aggregate; its cardinality is bounded
+    (|flags|×|status| ≤ 9), so the subtotal levels are derived from that tiny
+    result driver-side — never a second scan of lineitem."""
+    fine = (_t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n_rows")))
+    df = fine.to_pandas()  # bounded: one row per (flag, status) combination
+    sub = df.groupby("l_returnflag", as_index=False)[["sum_qty", "n_rows"]].sum()
+    sub["l_linestatus"] = "ALL"
+    tot = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "sum_qty": [df["sum_qty"].sum()],
+                        "n_rows": [df["n_rows"].sum()]})
+    out = pd.concat([df, sub, tot], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].round().astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIO_COLS = ("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+
+
+def q_orders_pivot(sf_dir):
+    """Pivot (order-priority counts per order-year) as a single pre-aggregated
+    pass: each batch collapses to one row per year with one count column per
+    priority (vectorized year-code bincount per mask), then the groupby sums
+    ~n_years × concurrency partial rows — the fact table itself never
+    shuffles and no driver-side pivot of a tall table is needed."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        cols = {"o_year": pa.array(uy.astype("int64"))}
+        for p, cname in zip(_PRIORITIES, _PRIO_COLS):
+            m = pc.equal(b["o_orderpriority"], p).to_numpy(zero_copy_only=False)
+            cols[cname] = pa.array(
+                np.bincount(inv, weights=m, minlength=len(uy)).astype("int64"))
+        return pa.table(cols)
+
+    agg = (_t(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(*[Sum(c, alias_name=c) for c in _PRIO_COLS]))
+    return _cast_int64(agg, list(_PRIO_COLS))
+
+
+SQL_ORDERS_PIVOT = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY 1
+"""
+
+
+def q_price_histogram(sf_dir):
+    """Fixed-width histogram of order totals: the bucket id is computed
+    vectorized per batch, then a bounded-cardinality groupby (≤ ~25 buckets)
+    carries only (bucket, price) pairs through the exchange."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bk = pc.cast(pc.floor(pc.divide(b["o_totalprice"], 20000.0)), pa.int64())
+        return pa.table({"bucket": bk, "o_totalprice": b["o_totalprice"]})
+
+    return (_t(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_orders"),
+                       Min("o_totalprice", alias_name="min_price"),
+                       Max("o_totalprice", alias_name="max_price")))
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_repeat_customers(sf_dir):
+    """Set intersection (customers ordering in BOTH 1995 and 1996) as ONE
+    pre-aggregated exchange: per-batch indicator partials max-combine under a
+    single groupby(custkey), then a vectorized filter — instead of two
+    DISTINCT subqueries plus a shuffle INTERSECT (three exchanges)."""
+
+    def flags(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"])
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "in95": pc.cast(pc.equal(yr, 1995), pa.int64()),
+                      "in96": pc.cast(pc.equal(yr, 1996), pa.int64())})
+        g = t.group_by("o_custkey").aggregate([("in95", "max"), ("in96", "max")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "in95": g["in95_max"], "in96": g["in96_max"]})
+
+    agg = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(flags, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("in95", alias_name="in95"),
+                      Max("in96", alias_name="in96")))
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["in95"], 1), pc.greater_equal(b["in96"], 1))
+        return b.filter(m).select(["o_custkey"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_REPEAT_CUSTOMERS = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+# ---------------------------------------------------------------------------
 # Window functions (ANSI analytic semantics, SQL-checked)
 # ---------------------------------------------------------------------------
 
@@ -1751,6 +1888,10 @@ QUERIES = {
     "order_rank_delta": (q_order_rank_delta, SQL_ORDER_RANK_DELTA),
     "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "repeat_customers": (q_repeat_customers, SQL_REPEAT_CUSTOMERS),
     "regional_volume": (q_regional_volume, SQL_REGIONAL_VOLUME),
     "benchmark_overlap": (q_benchmark_overlap, SQL_BENCHMARK_OVERLAP),
     "norm_text": (q_norm_text, SQL_NORM_TEXT),
