@@ -42,10 +42,11 @@ TOKEN_PAT = r"[ \t\n\r\f]+"
 
 
 def _doc_token_pairs(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    """Unique (doc_id, tok) pairs per batch, fully vectorized: Arrow tokenize,
-    dictionary-encode the flat token stream, np.unique over (row, code)
-    composite keys. Each doc lives wholly in one batch row, so batch-local
-    uniqueness is global uniqueness."""
+    """Unique (doc_id, tok, tf, dl) rows per batch, fully vectorized: Arrow
+    tokenize, dictionary-encode the flat token stream, np.unique over
+    (row, code) composite keys (counts = term frequency), bincount over the
+    parent indices (= document length). Each doc lives wholly in one batch
+    row, so batch-local uniqueness is global uniqueness."""
     t = b[text_col]
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
@@ -58,31 +59,67 @@ def _doc_token_pairs(b: pa.Table, id_col: str, text_col: str) -> pa.Table:
     flat, par = flat.filter(keep), par.filter(keep)
     if len(flat) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "tok": pa.array([], pa.string())})
+                         "tok": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()),
+                         "dl": pa.array([], pa.int64()),
+                         "is_first": pa.array([], pa.int64())})
     d = flat.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = d.dictionary
-    comp = par.to_numpy(zero_copy_only=False).astype(np.int64) * len(vocab) + codes
-    uniq = np.unique(comp)
+    rows_np = par.to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = rows_np * len(vocab) + codes
+    uniq, tf = np.unique(comp, return_counts=True)
+    dl = np.bincount(rows_np, minlength=b.num_rows)
+    rows = uniq // len(vocab)
+    # flag each doc's first pair row WHILE the batch is intact — downstream
+    # block slicing can split a doc's rows across blocks, so per-block
+    # distinct-doc counting would overcount; Sum(is_first) stays exact.
+    is_first = np.zeros(len(rows), dtype=np.int64)
+    is_first[np.flatnonzero(np.diff(rows, prepend=-1))] = 1
     return pa.table({
-        "doc_id": pc.cast(b[id_col].take(pa.array(uniq // len(vocab))), pa.int64()),
-        "tok": vocab.take(pa.array(uniq % len(vocab)))})
+        "doc_id": pc.cast(b[id_col].take(pa.array(rows)), pa.int64()),
+        "tok": vocab.take(pa.array(uniq % len(vocab))),
+        "tf": pa.array(tf.astype(np.int64)),
+        "dl": pa.array(dl[rows].astype(np.int64)),
+        "is_first": pa.array(is_first)})
 
 
 def build_inverted_index(ds: rd.Dataset, out_dir: str, n_parts: int = 64,
                          id_col: str = "doc_id", text_col: str = "text") -> str:
     """Build the index under ``out_dir`` (parquet partitioned by ``part``).
-    One tokenize pass + one coarse shuffle on the token hash."""
+    One tokenize pass + one coarse shuffle on the token hash. Postings carry
+    per-doc term frequency and document length denormalized alongside the doc
+    id (Lucene stores per-doc norms the same way), so ranked retrieval needs
+    no join against a doc table at query time. A tiny ``meta.json`` records
+    corpus stats (n_docs, avgdl) for the BM25 idf/normalization — computed
+    from per-batch partials of the SAME tokenize pass output, one extra small
+    aggregate over (doc count, token count) pairs."""
 
+    # materialized ONCE: both the postings shuffle and the tiny stats
+    # aggregate below consume these blocks — without this the stats pass
+    # would re-execute the whole tokenize (the double-execution pattern the
+    # round-2 advice flagged). The pairs table is index-sized, not
+    # corpus-sized, and the object store spills it rather than the heap.
     pairs = ds.map_batches(
-        lambda b: _doc_token_pairs(b, id_col, text_col), batch_format="pyarrow")
+        lambda b: _doc_token_pairs(b, id_col, text_col),
+        batch_format="pyarrow").materialize()
 
     def postings(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["tok", "doc_id"], kind="mergesort")
-        agg = g.groupby("tok", sort=False)["doc_id"].agg(list).reset_index()
-        agg.columns = ["tok", "postings"]
+        gb = g.groupby("tok", sort=False)
+        agg = gb.agg(postings=("doc_id", list), tfs=("tf", list),
+                     dls=("dl", list)).reset_index()
         agg["df"] = agg["postings"].map(len).astype("int64")
         return agg
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        n_docs = int(pc.sum(b["is_first"]).as_py() or 0)
+        n_tok = int(pc.sum(b["tf"]).as_py() or 0)
+        return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                         "n_tokens": pa.array([n_tok], pa.int64())})
 
     # keep the partition id as a column so write_parquet lays out part=N/ dirs
     def add_part(b: pa.Table) -> pa.Table:
@@ -92,13 +129,30 @@ def build_inverted_index(ds: rd.Dataset, out_dir: str, n_parts: int = 64,
             "part", pa.array(_stable_part(b, ["tok"], n_parts)))
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        out = postings(g.drop(columns=["part"]))
+        out = postings(g.drop(columns=["part", "is_first"]))
         out["part"] = g["part"].iloc[0]
         return out
 
     (pairs.map_batches(add_part, batch_format="pyarrow")
      .groupby("part").map_groups(run, batch_format="pandas")
      .write_parquet(out_dir, partition_cols=["part"]))
+
+    # corpus stats for BM25 (shuffle-free): Sum(is_first) = exact distinct doc
+    # count, Sum(tf) = total tokens — both over the already-materialized pairs.
+    from ray.data.aggregate import Sum
+
+    stats = (pairs.map_batches(stats_partial, batch_format="pyarrow")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_tokens", alias_name="n_tokens")))
+    n_docs = int(stats["n_docs"] or 0)
+    n_tokens = int(stats["n_tokens"] or 0)
+    meta = {"n_docs": n_docs, "n_tokens": n_tokens,
+            "avgdl": (n_tokens / n_docs) if n_docs else 0.0,
+            "n_parts": n_parts}
+    import json
+
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return out_dir
 
 
@@ -153,3 +207,79 @@ def search_index(index_dir: str, terms: list[str],
     # result and not even a typed union restores it; callers must treat a
     # zero-row frame as the empty hit set rather than indexing `doc_id`.
     return counted.map_batches(keep_all, batch_format="pyarrow")
+
+
+def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
+                top_k: int = 10, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """Disjunctive BM25 ranked retrieval over the same partition-pruned index
+    (Robertson/Spärck Jones BM25, the Lucene `k1`/`b` parameterization).
+
+    Reads ONLY the ≤k ``part=N`` directories the query terms hash into. The
+    per-doc length is denormalized into the postings at build time, so scoring
+    is one vectorized flatten per pruned block — no join against a doc table;
+    idf and avgdl come from the build-time ``meta.json``. The per-doc
+    contributions (≤ one per query term) combine under a tiny
+    ``groupby(doc_id)`` over the union of the query terms' postings only, and
+    the final top-k is a sort-limit over that bounded candidate set. Scores
+    are rounded to 9 dp after summation so ranking is stable across summation
+    orders (≤k doubles per doc differ by ≤1 ulp between runs)."""
+    import glob as _glob
+    import json as _json
+
+    if not terms:
+        raise ValueError("bm25_search needs at least one term")
+    terms = list(dict.fromkeys(terms))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"] or 1.0
+    parts = sorted(set(term_partitions(terms, n_parts).values()))
+    paths = [f for p in parts
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"part={p}", "*.parquet")))]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if not paths:
+        return empty
+    term_set = pa.array(terms, pa.string())
+
+    def score(bt: pa.Table) -> pa.Table:
+        bt = bt.filter(pc.is_in(bt["tok"], value_set=term_set))
+        if bt.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+
+        def _flat(col):
+            v = pc.list_flatten(bt[col])
+            return (v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                    else v).to_numpy(zero_copy_only=False)
+
+        doc = _flat("postings").astype(np.int64)
+        tf = _flat("tfs").astype(np.float64)
+        dl = _flat("dls").astype(np.float64)
+        lens = pc.list_value_length(bt["postings"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dfv = np.repeat(
+            bt["df"].to_numpy(zero_copy_only=False).astype(np.float64), lens)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({"doc_id": pa.array(doc), "score": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+
+    ranked = (rd.read_parquet(paths, columns=["tok", "df", "postings",
+                                              "tfs", "dls"])
+              .map_batches(score, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("score", alias_name="score"))
+              .sort(["score", "doc_id"], descending=[True, False])
+              .limit(top_k))
+    t = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return empty  # Ray empty-aggregate schema drop (see search_index NOTE)
+    sc = pc.round(t["score"], ndigits=9)
+    order = pc.sort_indices(pa.table({"s": sc, "d": t["doc_id"]}),
+                            sort_keys=[("s", "descending"), ("d", "ascending")])
+    return pa.table({
+        "doc_id": pc.cast(t["doc_id"].take(order), pa.int64()),
+        "score": pc.cast(sc.take(order), pa.float64()),
+        "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))})

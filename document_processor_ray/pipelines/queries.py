@@ -360,6 +360,39 @@ UNION ALL SELECT 'p90', quantile_disc(CAST(l_quantity AS BIGINT), 0.90) FROM lin
 """
 
 
+def _ensure_index(sf_dir) -> str:
+    """Build-once cache of the persisted inverted index for a corpus, keyed by
+    corpus path + row count + schema version (v2 = tf/dl-carrying postings +
+    meta.json; a stale v1 cache lacks the BM25 columns)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.index import build_inverted_index
+
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    tag = os.path.normpath(sf_dir).replace(os.sep, "_")
+    idx_dir = f"/tmp/graft_index/{tag}-{n_docs}-v2"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
+        with open(os.path.join(idx_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    return idx_dir
+
+
+def q_bm25_topk(sf_dir):
+    """BM25 ranked retrieval (top-10) over the persisted index: pruned
+    partition read, join-free scoring off the denormalized per-posting
+    (tf, dl), tiny candidate-set groupby + sort-limit. Rows-only driver check;
+    semantics pinned by ``tests/test_index.py::test_bm25_matches_oracle``
+    against an independent BM25 implementation."""
+    from ..functions.index import bm25_search
+
+    return bm25_search(_ensure_index(sf_dir), ["spark", "window", "stream"],
+                       top_k=10)
+
+
 def q_term_search(sf_dir):
     """Conjunctive retrieval over the persisted inverted index
     (``functions/index.py``): build once per corpus (cached under /tmp keyed
@@ -369,21 +402,9 @@ def q_term_search(sf_dir):
     a driver-side set intersection. The DuckDB mirror is the direct
     full-scan predicate, so the hash check proves index build + pruned
     lookup ≡ scan."""
-    import pyarrow.parquet as _pq
+    from ..functions.index import search_index
 
-    from ..functions.index import build_inverted_index, search_index
-
-    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    tag = os.path.normpath(sf_dir).replace(os.sep, "_")
-    idx_dir = f"/tmp/graft_index/{tag}-{n_docs}"
-    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
-        import shutil
-
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        build_inverted_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir)
-        with open(os.path.join(idx_dir, "_DONE"), "w") as f:
-            f.write("ok")
-    return search_index(idx_dir, ["spark", "window"])
+    return search_index(_ensure_index(sf_dir), ["spark", "window"])
 
 
 SQL_TERM_SEARCH = """
@@ -1856,6 +1877,7 @@ QUERIES = {
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
+    "bm25_topk": (q_bm25_topk, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
