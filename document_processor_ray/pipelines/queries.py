@@ -360,6 +360,35 @@ UNION ALL SELECT 'p90', quantile_disc(CAST(l_quantity AS BIGINT), 0.90) FROM lin
 """
 
 
+def q_chunk_windows(sf_dir):
+    """Sliding-window token chunking (window=32, stride=24) — the LLM
+    context-packing shaping op. Shuffle-free single pass; the overlapping
+    windows are gathered with one vectorized take over the flat token stream
+    (``functions/chunk.py``). The DuckDB mirror reproduces the convention with
+    regexp_split + range(0, n, stride) + 1-based inclusive list slices, so the
+    hash check pins chunk boundaries AND the joined chunk text itself."""
+    from ..functions.chunk import chunk_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: chunk_batch(b, window=32, stride=24), batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s
+  FROM tl WHERE len(toks) > 0)
+SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(toks) - s) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : least(s + 32, len(toks))], ' ') AS chunk
+FROM st
+"""
+
+
 def _ensure_index(sf_dir) -> str:
     """Build-once cache of the persisted inverted index for a corpus, keyed by
     corpus path + row count + schema version (v2 = tf/dl-carrying postings +
@@ -1878,6 +1907,7 @@ QUERIES = {
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
     "bm25_topk": (q_bm25_topk, None),
+    "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
