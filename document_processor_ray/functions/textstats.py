@@ -40,9 +40,10 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
-def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Heuristic quality score in [0,1]: favors mid-length docs with low
-    punctuation/digit density and a healthy mean word length (C4-style filters)."""
+def quality_raw(batch: pa.Table, text_col: str = "text") -> np.ndarray:
+    """Un-rounded quality score; every operation is a plain IEEE double op in
+    a fixed order, so a SQL mirror of the same expression is bit-identical
+    (the basis of the `quality_score` hash check)."""
     t = batch[text_col]
     n_tok = pc.count_substring_regex(t, pattern=TOKEN_PAT).to_numpy(zero_copy_only=False).astype(np.float64)
     n_chr = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -52,8 +53,14 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     len_score = np.clip(n_tok / 50.0, 0.0, 1.0) * np.clip((5000.0 - n_tok) / 5000.0, 0.0, 1.0)
     wl_score = np.clip(1.0 - np.abs(mean_wl - 5.0) / 5.0, 0.0, 1.0)
     noise = np.where(n_chr > 0, (n_pun + n_dig) / np.maximum(n_chr, 1), 1.0)
-    score = 0.4 * len_score + 0.3 * wl_score + 0.3 * np.clip(1.0 - 4.0 * noise, 0.0, 1.0)
-    return batch.append_column("quality", pa.array(np.round(score, 6)))
+    return 0.4 * len_score + 0.3 * wl_score + 0.3 * np.clip(1.0 - 4.0 * noise, 0.0, 1.0)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: favors mid-length docs with low
+    punctuation/digit density and a healthy mean word length (C4-style filters)."""
+    return batch.append_column(
+        "quality", pa.array(np.round(quality_raw(batch, text_col), 6)))
 
 
 # Stopword profiles for the langid heuristic (public common-word lists).

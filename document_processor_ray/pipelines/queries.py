@@ -537,6 +537,49 @@ def q_quality(sf_dir):
     ).drop_columns(["text"])
 
 
+def q_quality_score(sf_dir):
+    """SQL-hash-checked variant of `quality`: the un-rounded score is a fixed
+    sequence of IEEE double ops mirrored term-by-term in DuckDB (identical
+    operand order ⇒ identical bits), emitted as integer ppm
+    (floor(score·1e6)) so the value hash needs no float-repr agreement."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ppm = np.floor(ts.quality_raw(b) * 1000000.0).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "quality_ppm": pa.array(ppm)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(array_length(regexp_extract_all(text, '{ts.TOKEN_PAT}')) AS DOUBLE) AS n_tok,
+    CAST(length(text) AS DOUBLE) AS n_chr,
+    CAST(array_length(regexp_extract_all(text, '{ts.PUNCT_PAT}')) AS DOUBLE) AS n_pun,
+    CAST(array_length(regexp_extract_all(text, '{ts.DIGIT_PAT}')) AS DOUBLE) AS n_dig
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok, n_chr, n_pun, n_dig,
+    CASE WHEN n_tok > 0
+         THEN (n_chr - greatest(n_tok - 1.0, 0.0)) / greatest(n_tok, 1.0)
+         ELSE 0.0 END AS mean_wl
+  FROM s),
+sc AS (
+  SELECT doc_id,
+    least(greatest(n_tok / 50.0, 0.0), 1.0)
+      * least(greatest((5000.0 - n_tok) / 5000.0, 0.0), 1.0) AS len_score,
+    least(greatest(1.0 - abs(mean_wl - 5.0) / 5.0, 0.0), 1.0) AS wl_score,
+    CASE WHEN n_chr > 0 THEN (n_pun + n_dig) / greatest(n_chr, 1.0)
+         ELSE 1.0 END AS noise
+  FROM c)
+SELECT doc_id,
+       CAST(FLOOR((0.4 * len_score + 0.3 * wl_score
+                   + 0.3 * least(greatest(1.0 - 4.0 * noise, 0.0), 1.0))
+                  * 1000000.0) AS BIGINT) AS quality_ppm
+FROM sc
+"""
+
+
 def q_fingerprint(sf_dir):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.fingerprint_batch, batch_format="pyarrow"
@@ -1915,6 +1958,7 @@ QUERIES = {
     "langid": (q_langid, None),
     "langid_pred": (q_langid_pred, SQL_LANGID_PRED),
     "quality": (q_quality, None),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, None),
