@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "span_fragments", "langid_pred", "event_last_order", "page_screenshots",
     "order_rank_delta", "lineitem_running_qty", "benchmark_overlap",
     "customers_no_orders", "regional_volume", "tfidf_top_term", "bigram_freq",
+    "chunk_windows", "bm25_topk", "term_search", "repeat_customers",
+    "quality_score", "lineitem_rollup",
 ]
 
 

@@ -102,3 +102,57 @@ def deterministic_split(ds: rd.Dataset, key_col: str,
         return b.append_column(out_col, pa.array(lab.tolist(), pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def upsample_mixture(ds: rd.Dataset, key_col: str, n_full: int,
+                     frac_bytes: int, epoch_col: str = "epoch") -> rd.Dataset:
+    """Deterministic fractional upsampling — the data-recipe weighting op
+    (LLaMA/C4-style mixture weights): replicate every row
+    ``weight = n_full + frac_bytes/256`` times. Epochs ``0..n_full-1`` are
+    always emitted; the fractional epoch ``n_full`` keeps a row iff
+    ``md5(key || ':' || n_full)`` falls under the threshold, so the fractional
+    subset is reproducible, repartition-invariant, and DIFFERENT per epoch
+    (salting the epoch into the key avoids always re-sampling the same docs).
+    Stateless map_batches — replication happens inside the batch via one
+    vectorized ``take``, no shuffle; at 100 TB the output streams at
+    weight × input volume without any driver coordination. SQL mirror:
+    ``FROM t, (SELECT unnest(range(0, n_full+1)) AS epoch)
+    WHERE epoch < n_full OR substr(md5(CAST(key AS VARCHAR) || ':<n_full>'),
+    1, 2) < '<hex(frac_bytes)>'``."""
+    if n_full < 0 or not (0 <= frac_bytes <= 256):
+        raise ValueError("need n_full >= 0 and 0 <= frac_bytes <= 256")
+
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        if n_full > 0:
+            idx = np.repeat(np.arange(n), n_full)
+            t = b.take(pa.array(idx))
+            ep = np.tile(np.arange(n_full), n)
+            parts.append(t.append_column(epoch_col,
+                                         pa.array(ep.astype(np.int64))))
+        if frac_bytes > 0:
+            kb = _salted_key_bytes(b[key_col], f":{n_full}")
+            t = b.filter(pa.array(kb < frac_bytes))
+            parts.append(t.append_column(
+                epoch_col, pa.array(np.full(t.num_rows, n_full, np.int64))))
+        if not parts:
+            return b.slice(0, 0).append_column(epoch_col,
+                                               pa.array([], pa.int64()))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _salted_key_bytes(col: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
+    """First md5 byte of ``str(key) + salt`` (same dtype contract as
+    ``_key_bytes``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if not (pa.types.is_integer(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"upsample key must be an integer or string column (got {t})")
+    return np.array([hashlib.md5((str(v) + salt).encode()).digest()[0]
+                     for v in col.to_pylist()], dtype=np.uint16)

@@ -1173,6 +1173,26 @@ WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def q_upsample_docs(sf_dir):
+    """Deterministic fractional upsampling (mixture weight 2 + 77/256 ≈ 2.3):
+    every doc appears in epochs 0 and 1, and in epoch 2 iff its salted md5
+    falls under 77/256 — the LLM data-recipe weighting op
+    (``functions/sampling.py::upsample_mixture``). The epoch salt means the
+    fractional subset differs from what a plain 77/256 sample would pick."""
+    from ..functions.sampling import upsample_mixture
+
+    return upsample_mixture(_docs(sf_dir, ["doc_id"]), "doc_id",
+                            n_full=2, frac_bytes=77)
+
+
+SQL_UPSAMPLE_DOCS = """
+SELECT doc_id, epoch
+FROM documents, (SELECT unnest(range(0, 3)) AS epoch)
+WHERE epoch < 2
+   OR substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 2) < '4d'
+"""
+
+
 def q_stratified_customers(sf_dir):
     """Stratified deterministic sample (class-rebalancing op for training
     data): BUILDING keeps ~20% (51/256), MACHINERY ~5% (13/256), every other
@@ -1995,6 +2015,7 @@ QUERIES = {
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
+    "upsample_docs": (q_upsample_docs, SQL_UPSAMPLE_DOCS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
     "span_positions": (q_span_positions, None),

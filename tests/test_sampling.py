@@ -72,3 +72,33 @@ def test_unsupported_key_dtype_raises():
     with pytest.raises(Exception) as ei:
         deterministic_sample(ds, "k").take_all()
     assert "integer or string" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_upsample_mixture_matches_naive():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from document_processor_ray.functions.sampling import upsample_mixture
+
+    ids = list(range(300))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = upsample_mixture(ds, "doc_id", n_full=2, frac_bytes=77).to_pandas()
+    want = [(i, e) for i in ids for e in range(3)
+            if e < 2 or hashlib.md5(f"{i}:2".encode()).digest()[0] < 77]
+    assert sorted(zip(got["doc_id"], got["epoch"])) == sorted(want)
+    # fractional rate lands near 77/256
+    frac = (got["epoch"] == 2).sum() / len(ids)
+    assert abs(frac - 77 / 256) < 0.1
+    # repartition-invariant: same multiset under a different block layout
+    got2 = upsample_mixture(ds.repartition(7), "doc_id",
+                            n_full=2, frac_bytes=77).to_pandas()
+    assert sorted(zip(got2["doc_id"], got2["epoch"])) == sorted(want)
+    # epoch salt: the fractional subset is NOT the plain md5(key) subset
+    plain = {i for i in ids if hashlib.md5(str(i).encode()).digest()[0] < 77}
+    salted = {i for i, e in want if e == 2}
+    assert plain != salted
