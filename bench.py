@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "order_rank_delta", "lineitem_running_qty", "benchmark_overlap",
     "customers_no_orders", "regional_volume", "tfidf_top_term", "bigram_freq",
     "chunk_windows", "bm25_topk", "term_search", "repeat_customers",
-    "quality_score", "lineitem_rollup",
+    "quality_score", "lineitem_rollup", "pii_scrub", "jaccard_adjacent",
 ]
 
 

@@ -643,7 +643,8 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int = 3,
                                 threshold: float = 0.6, id_col: str = "doc_id",
-                                text_col: str = "text") -> rd.Dataset:
+                                text_col: str = "text",
+                                emit_counts: bool = False) -> rd.Dataset:
     """Scale path for exact n-gram Jaccard verification: no broadcast, no full
     texts on the wire. Docs are reduced once to n-gram *hash sets* (u64 blake2b
     mix, ~8 B/token); pairs pick up each side's gram set through two
@@ -689,16 +690,22 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
     def score(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2
 
-        js = []
+        js, ni, nu = [], [], []
         for ga, gb in zip(b["grams_a"].to_pylist(), b["grams_b"].to_pylist()):
             sa = set(np.frombuffer(ga, dtype=np.uint64).tolist())
             sb = set(np.frombuffer(gb, dtype=np.uint64).tolist())
-            if not sa and not sb:
-                js.append(1.0)
-                continue
-            js.append(round(len(sa & sb) / max(1, len(sa | sb)), 6))
-        out = pa.table({"a": b["a"], "b": b["b"],
-                        "jaccard": pa.array(js, pa.float64())})
+            inter, union = len(sa & sb), len(sa | sb)
+            ni.append(inter)
+            nu.append(union)
+            js.append(1.0 if not union else round(inter / union, 6))
+        cols = {"a": b["a"], "b": b["b"],
+                "jaccard": pa.array(js, pa.float64())}
+        if emit_counts:
+            # integer |∩| / |∪| — exact cross-engine hash parity, no float
+            # repr risk (CLAUDE.md dtype-parity rule)
+            cols["n_inter"] = pa.array(ni, pa.int64())
+            cols["n_union"] = pa.array(nu, pa.int64())
+        out = pa.table(cols)
         return out.filter(pc2.greater_equal(out["jaccard"], threshold))
 
     return with_ab.map_batches(score, batch_format="pyarrow")

@@ -1432,6 +1432,40 @@ SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
 """
 
 
+def q_churned_customers(sf_dir):
+    """Set difference (EXCEPT: ordered in 1995 but NOT in 1996) via the same
+    single-exchange indicator pattern as repeat_customers — one pre-aggregated
+    groupby(custkey) instead of two DISTINCTs plus a shuffle anti-set-op."""
+
+    def flags(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"])
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "in95": pc.cast(pc.equal(yr, 1995), pa.int64()),
+                      "in96": pc.cast(pc.equal(yr, 1996), pa.int64())})
+        g = t.group_by("o_custkey").aggregate([("in95", "max"), ("in96", "max")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "in95": g["in95_max"], "in96": g["in96_max"]})
+
+    agg = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(flags, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Max("in95", alias_name="in95"),
+                      Max("in96", alias_name="in96")))
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["in95"], 1), pc.equal(b["in96"], 0))
+        return b.filter(m).select(["o_custkey"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_CHURNED_CUSTOMERS = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window functions (ANSI analytic semantics, SQL-checked)
 # ---------------------------------------------------------------------------
@@ -1606,6 +1640,57 @@ SELECT doc_id,
                                   ' ', 'g'), ' ')) AS n_chars_norm
 FROM documents
 """
+
+
+def q_pii_scrub(sf_dir):
+    """PII-style redaction pass (functions/scrub.py): deterministic contact
+    augmentation (the synthetic corpus has no digits, so the rules would never
+    fire on raw text), then the sequential RE2 count-and-replace kernel.
+    Hash-checked on the per-rule counts AND the fully redacted strings.
+    Per-row independent — shuffle-free, C-level kernels only."""
+    from ..functions.scrub import augment_contact, scrub_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        out = scrub_batch(augment_contact(b), text_col="aug_text")
+        return out.select(["doc_id", "n_email", "n_ip", "n_num", "scrubbed"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _sql_pii_scrub() -> str:
+    from ..functions.scrub import EMAIL_PAT, IPV4_PAT, LONGNUM_PAT
+
+    # Single source of truth for the patterns: the scrub module. DuckDB is
+    # also RE2, so count/replace semantics match pyarrow.compute exactly.
+    return """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' acct ' || CAST(100000000 + doc_id AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '@EMAIL@')) AS BIGINT) AS n_email,
+         regexp_replace(t0, '@EMAIL@', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '@IP@')) AS BIGINT) AS n_ip,
+         regexp_replace(t1, '@IP@', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_ip,
+       CAST(len(regexp_extract_all(t2, '@NUM@')) AS BIGINT) AS n_num,
+       regexp_replace(t2, '@NUM@', '<NUM>', 'g') AS scrubbed
+FROM s2
+""".replace("@EMAIL@", EMAIL_PAT).replace("@IP@", IPV4_PAT) \
+   .replace("@NUM@", LONGNUM_PAT)
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
 
 
 # ---------------------------------------------------------------------------
@@ -1897,6 +1982,50 @@ def q_jaccard_verify(sf_dir):
     return verified.select_columns(["a", "b", "jaccard"])
 
 
+def q_jaccard_adjacent(sf_dir):
+    """Deterministic candidate pairs (doc_id, doc_id+1) for doc_id % 5 == 0,
+    scored by the bucketed exact n-gram Jaccard scale path (gram-set
+    co-partitioned joins, no text broadcast) — hash-checked on the integer
+    |intersection| / |union| so the Jaccard operator itself is SQL-verified.
+    Valid because doc_ids are contiguous 0..N-1 with N % 5 == 0 at every sf
+    and every doc has ≥ n tokens (the short-doc whole-text gram branch, which
+    the SQL mirror does not model, never fires on this corpus)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy()
+        sel = idn[idn % 5 == 0]
+        return pa.table({"a": pa.array(sel, pa.int64()),
+                         "b": pa.array(sel + 1, pa.int64())})
+
+    pairs = _docs(sf_dir, ["doc_id"]).map_batches(mk, batch_format="pyarrow")
+    out = dd.verify_pairs_exact_bucketed(pairs, docs, threshold=0.0,
+                                         emit_counts=True)
+    return out.select_columns(["a", "b", "n_inter", "n_union"])
+
+
+SQL_JACCARD_ADJACENT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t)-2, 0))]) AS gs
+  FROM toks)
+SELECT ga.doc_id AS a, gb.doc_id AS b,
+       CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(ga.gs, gb.gs))) AS BIGINT) AS n_union
+FROM grams ga JOIN grams gb ON gb.doc_id = ga.doc_id + 1
+WHERE ga.doc_id % 5 = 0
+"""
+
+
 def q_media_decode_stats(sf_dir):
     """Multimodal decode stage over the flagship corpus payload column:
     per-(content_type, ok) counts and size envelope."""
@@ -2008,9 +2137,11 @@ QUERIES = {
     "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "repeat_customers": (q_repeat_customers, SQL_REPEAT_CUSTOMERS),
+    "churned_customers": (q_churned_customers, SQL_CHURNED_CUSTOMERS),
     "regional_volume": (q_regional_volume, SQL_REGIONAL_VOLUME),
     "benchmark_overlap": (q_benchmark_overlap, SQL_BENCHMARK_OVERLAP),
     "norm_text": (q_norm_text, SQL_NORM_TEXT),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
@@ -2024,6 +2155,7 @@ QUERIES = {
     "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),
+    "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
     "media_decode_stats": (q_media_decode_stats, None),
     "frame_sample": (q_frame_sample, None),
 }

@@ -114,6 +114,22 @@ def test_verify_pairs_bucketed_matches_broadcast():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_bucketed_emit_counts():
+    """emit_counts adds integer |∩|/|∪| consistent with the scalar Jaccard
+    on the raw texts (the hash-set counts equal gram-set counts)."""
+    docs = _near_dup_docs()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    pairs = dd.minhash_lsh_pairs(rd.from_items(docs), threshold=0.5)
+    out = dd.verify_pairs_exact_bucketed(
+        pairs, rd.from_items(docs), threshold=0.0, emit_counts=True).to_pandas()
+    assert len(out) > 0
+    for r in out.itertuples(index=False):
+        assert r.n_union >= r.n_inter >= 0
+        assert r.jaccard == (round(r.n_inter / r.n_union, 6) if r.n_union else 1.0)
+        assert abs(r.jaccard - dd.ngram_jaccard(texts[r.a], texts[r.b])) < 1e-6
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_matches_numpy_bruteforce():
     rng = np.random.RandomState(3)
     mat = rng.randn(200, 16).astype(np.float32)
