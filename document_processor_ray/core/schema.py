@@ -88,6 +88,11 @@ MEDIA_SCHEMA = pa.schema(
         # slice_extractor.py:147-179), JSON-encoded so str|int|null cell types
         # survive; null for images — queryable without re-decoding the blob
         ("cells_json", pa.string()),
+        # table shape stats (tables only, else null), materialized at build
+        # time so shape queries are pure projections (no json.loads)
+        ("n_rows", pa.int32()),
+        ("n_cols", pa.int32()),
+        ("n_null_cells", pa.int32()),
         ("data", pa.large_binary()),
     ]
 )

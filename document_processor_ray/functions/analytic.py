@@ -112,8 +112,12 @@ def windowed(ds: rd.Dataset, part_col: str, order_cols: list[str], make_cols,
     """
 
     def bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
+        if part_col not in t.column_names:
+            return t  # schema-less empty block: nothing to sort or type
+        # NOTE: empty-but-typed groups flow through the normal path so they
+        # still get every make_cols output column (zero-length, typed) — an
+        # empty group with a DIFFERENT schema than its siblings triggers Ray's
+        # 'RefBundle with a different schema' hazard downstream
         st, first, seg_start = _sort_segments(t, part_col, order_cols)
         for name, arr in make_cols(st, first, seg_start).items():
             st = st.append_column(name, arr)

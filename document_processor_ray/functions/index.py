@@ -267,19 +267,28 @@ def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
 
     from ray.data.aggregate import Sum
 
+    def round_scores(bt: pa.Table) -> pa.Table:
+        # round BEFORE the distributed sort+limit: the top-k cut itself must
+        # run on the tie-stabilized key, or a 1-ulp cross-run difference at
+        # the boundary could admit a different doc into the top-k
+        if "score" not in bt.column_names:
+            return bt  # Ray empty-aggregate schema drop (see search_index NOTE)
+        return bt.set_column(bt.schema.get_field_index("score"), "score",
+                             pc.round(bt["score"], ndigits=9))
+
     ranked = (rd.read_parquet(paths, columns=["tok", "df", "postings",
                                               "tfs", "dls"])
               .map_batches(score, batch_format="pyarrow")
               .groupby("doc_id").aggregate(Sum("score", alias_name="score"))
+              .map_batches(round_scores, batch_format="pyarrow")
               .sort(["score", "doc_id"], descending=[True, False])
               .limit(top_k))
     t = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
     if t.num_rows == 0:
         return empty  # Ray empty-aggregate schema drop (see search_index NOTE)
-    sc = pc.round(t["score"], ndigits=9)
-    order = pc.sort_indices(pa.table({"s": sc, "d": t["doc_id"]}),
+    order = pc.sort_indices(pa.table({"s": t["score"], "d": t["doc_id"]}),
                             sort_keys=[("s", "descending"), ("d", "ascending")])
     return pa.table({
         "doc_id": pc.cast(t["doc_id"].take(order), pa.int64()),
-        "score": pc.cast(sc.take(order), pa.float64()),
+        "score": pc.cast(t["score"].take(order), pa.float64()),
         "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))})

@@ -67,6 +67,16 @@ def stratified_sample(ds: rd.Dataset, key_col: str, strata_col: str,
     which stratum batch it arrives in. Stateless map_batches filter, no
     shuffle. SQL mirror: ``substr(md5(CAST(key AS VARCHAR)),1,2) <
     CASE strata WHEN ... THEN '<hex>' ... ELSE '<hex>' END``."""
+    for s, r in rates.items():
+        if not (0 <= r <= 255):
+            raise ValueError(
+                f"stratified_sample rate for {s!r} must be 0..255 (got {r}): "
+                f"the 2-hex-char SQL mirror cannot express values past 255")
+    if not (0 <= default_bytes <= 255):
+        raise ValueError(f"default_bytes must be 0..255 (got {default_bytes})")
+    if not rates:
+        # no per-stratum overrides: plain deterministic sample at default rate
+        return deterministic_sample(ds, key_col, keep_bytes=default_bytes)
     names = pa.array(list(rates.keys()), pa.string())
     widths = np.array(list(rates.values()), dtype=np.uint16)
 
@@ -119,8 +129,13 @@ def upsample_mixture(ds: rd.Dataset, key_col: str, n_full: int,
     ``FROM t, (SELECT unnest(range(0, n_full+1)) AS epoch)
     WHERE epoch < n_full OR substr(md5(CAST(key AS VARCHAR) || ':<n_full>'),
     1, 2) < '<hex(frac_bytes)>'``."""
-    if n_full < 0 or not (0 <= frac_bytes <= 256):
-        raise ValueError("need n_full >= 0 and 0 <= frac_bytes <= 256")
+    if n_full < 0 or not (0 <= frac_bytes <= 255):
+        # 255 is the ceiling, not 256: _salted_key_bytes yields 0..255, so 256
+        # would keep every row — inexpressible in the 2-hex-char SQL mirror
+        # (substr(md5(...),1,2) < '<hex>'). Want a whole extra epoch? Use
+        # n_full + 1 with frac_bytes=0 on both engines.
+        raise ValueError("need n_full >= 0 and 0 <= frac_bytes <= 255 "
+                         "(for a full extra epoch, increment n_full instead)")
 
     def f(b: pa.Table) -> pa.Table:
         n = b.num_rows

@@ -4,6 +4,14 @@ HyperLogLog (Flajolet et al. '07) count-distinct: each batch emits one serialize
 register array; registers merge by elementwise max in a tiny reduce — the
 canonical sketch pattern for 100 TB streams (ray_guide "Aggregation at scale":
 emit one sketch per batch, merge in a second, tiny stage).
+
+KLL (Karnin-Lang-Liberty, FOCS'16) quantiles: the high-cardinality companion to
+the exact bounded-domain histogram quantiles (pipelines.queries
+``quantity_quantiles``) — when the value domain is unbounded (prices, floats),
+the exact (value, count) shuffle degenerates to one row per distinct value; KLL
+keeps a fixed-size mergeable summary per batch with rank error O(1/k) instead.
+Same pattern: one sketch per batch, tiny driver-side merge of serialized
+sketches (bytes per batch, never the values).
 """
 
 from __future__ import annotations
@@ -70,6 +78,133 @@ def _hash_col(vals: list) -> np.ndarray:
                         "little") for v in vals],
         dtype=np.uint64,
     )
+
+
+class KLL:
+    """KLL quantile sketch over float64 values (Karnin-Lang-Liberty '16).
+
+    Level ``i`` holds items of weight ``2**i``. A level past its capacity
+    compacts: sort, promote every other item to the next level (the start
+    offset comes from a deterministic splitmix64 counter — reproducible across
+    runs and machines, unlike process-random coins), leaving one item behind
+    when the level size is odd so total weight is conserved exactly. Capacity
+    decays by (2/3)^depth below the top level, giving the standard O(1/k)
+    rank-error profile with ~3k retained items regardless of stream size."""
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 7):
+        self.k = int(k)
+        self.n = 0
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._state = np.uint64(seed)
+
+    def _coin(self) -> int:
+        self._state = self._state + np.uint64(0x9E3779B97F4A7C15)
+        z = self._state
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return int(z & np.uint64(1))
+
+    def _cap(self, h: int, n_levels: int) -> int:
+        return max(2, int(np.ceil(self.k * self.C ** (n_levels - 1 - h))))
+
+    def add(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return
+        self.n += len(vals)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._cap(h, len(self.levels)):
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                lvl = np.sort(self.levels[h])
+                leftover = np.empty(0, np.float64)
+                if len(lvl) % 2:
+                    # odd size: one item stays behind (weight conservation);
+                    # alternate min/max by coin so neither tail is biased
+                    if self._coin():
+                        leftover, lvl = lvl[:1], lvl[1:]
+                    else:
+                        leftover, lvl = lvl[-1:], lvl[:-1]
+                promoted = lvl[self._coin()::2]
+                self.levels[h] = leftover
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], promoted])
+            h += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, lvl in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lvl])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([np.full(len(l), 1 << i, np.int64)
+                              for i, l in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float("nan")
+        vals, wts = self._items()
+        cum = np.cumsum(wts)
+        idx = min(int(np.searchsorted(cum, q * self.n, side="left")),
+                  len(vals) - 1)
+        return float(vals[idx])
+
+    def n_retained(self) -> int:
+        return int(sum(len(l) for l in self.levels))
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.k, self.n, int(self._state), len(self.levels)],
+                        dtype=np.uint64).tobytes()
+        lens = np.array([len(l) for l in self.levels], np.uint64).tobytes()
+        return head + lens + np.concatenate(self.levels).tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLL":
+        head = np.frombuffer(data[:32], np.uint64)
+        s = cls(k=int(head[0]))
+        s.n = int(head[1])
+        s._state = np.uint64(head[2])
+        nlv = int(head[3])
+        lens = np.frombuffer(data[32 : 32 + 8 * nlv], np.uint64).astype(np.int64)
+        flat = np.frombuffer(data[32 + 8 * nlv :], np.float64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        s.levels = [flat[offs[i] : offs[i + 1]].copy() for i in range(nlv)]
+        return s
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float],
+                     k: int = 200) -> list[float]:
+    """Distributed KLL quantiles over an unbounded-domain numeric column: one
+    fixed-size sketch per batch (map_batches — the column never leaves the
+    workers), merged on the driver from ~3k-float payloads per batch. Rank
+    error is O(1/k) (tolerance-tested vs exact quantiles); use the exact
+    (value, count) histogram path for small bounded domains."""
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        s = KLL(k)
+        s.add(b[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = KLL(k)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        merged.merge(KLL.from_bytes(row["sketch"]))
+    return [merged.quantile(q) for q in qs]
 
 
 def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:

@@ -60,6 +60,17 @@ class ExtractConfig:
     # models.py:14-17, api.py:69): force the fast-only / full-only engine or
     # run the hybrid cascade (default)
     ocr_pipeline: str = "hybrid"
+    # F3 page-granularity analog (SPEC §6d; reference first_page/last_page,
+    # content_extractor.py:64-72): inclusive OUTPUT-page range applied after
+    # layout; requires emit_layout. None bounds are open.
+    first_page: int | None = None
+    last_page: int | None = None
+    # Documented no-ops (reference engine-tuning knobs threaded through the
+    # converter cache key, dl_converter.py:58-93 — the synthetic engine has no
+    # OCR confidence or bitmap-area concept, so these are accepted for config
+    # parity and validated, but change nothing)
+    ocr_confidence_threshold: float = 0.01
+    ocr_bitmap_area_threshold: float = 0.1
 
 
 def _parquet_paths(path: str | list[str]) -> list[str]:
@@ -205,6 +216,16 @@ def _branches(source, cfg: ExtractConfig):
         small_out = small_out.map_batches(add_layout_batch, batch_format="pyarrow")
         if big_out is not None:
             big_out = big_out.map_batches(add_layout_batch, batch_format="pyarrow")
+    if cfg.first_page is not None or cfg.last_page is not None:
+        if not cfg.emit_layout:
+            raise ValueError("first_page/last_page need emit_layout=True "
+                             "(pages are a layout output, SPEC §6d)")
+        from ..stages.layout import make_page_range_batch
+
+        prng = make_page_range_batch(cfg.first_page, cfg.last_page)
+        small_out = small_out.map_batches(prng, batch_format="pyarrow")
+        if big_out is not None:
+            big_out = big_out.map_batches(prng, batch_format="pyarrow")
     return small_out, big_out
 
 
@@ -245,6 +266,7 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
         import json
 
         refs, ctypes, ws, hs, cells, datas = [], [], [], [], [], []
+        t_rows, t_cols, t_nulls = [], [], []
         seen = set()
         for plist in b["payloads"].to_pylist():
             for p in plist or []:
@@ -266,6 +288,7 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
                     ws.append(dec.width * cfg.media_scale)
                     hs.append(dec.height * cfg.media_scale)
                     cells.append(None)
+                    t_rows.append(None); t_cols.append(None); t_nulls.append(None)
                 else:
                     ctypes.append("table/x-synth"); ws.append(0); hs.append(0)
                     # cleaned cell matrix (T6: reference table_data) as a
@@ -275,6 +298,13 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
                                 for c in row] for row in dec.rows]
                     cells.append(json.dumps(cleaned, separators=(",", ":"),
                                             ensure_ascii=True))
+                    # shape stats materialized here, while the decoded matrix
+                    # is in hand — downstream table queries become pure
+                    # projections instead of per-row json.loads re-derivation
+                    t_rows.append(len(cleaned))
+                    t_cols.append(len(cleaned[0]) if cleaned else 0)
+                    t_nulls.append(sum(1 for row in cleaned for c in row
+                                       if c is None))
                 datas.append(canonical)
         return pa.table({
             "media_ref": pa.array(refs, pa.string()),
@@ -282,6 +312,9 @@ def build_media_table(source, cfg: ExtractConfig | None = None) -> rd.Dataset:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "cells_json": pa.array(cells, pa.string()),
+            "n_rows": pa.array(t_rows, pa.int32()),
+            "n_cols": pa.array(t_cols, pa.int32()),
+            "n_null_cells": pa.array(t_nulls, pa.int32()),
             "data": pa.array(datas, pa.large_binary()),
         })
 

@@ -391,15 +391,20 @@ FROM st
 
 def _ensure_index(sf_dir) -> str:
     """Build-once cache of the persisted inverted index for a corpus, keyed by
-    corpus path + row count + schema version (v2 = tf/dl-carrying postings +
-    meta.json; a stale v1 cache lacks the BM25 columns)."""
+    corpus path + a content fingerprint (row count + source file mtime/size —
+    a regenerated corpus with the same row count must NOT reuse a stale index)
+    + schema version (v2 = tf/dl-carrying postings + meta.json; a stale v1
+    cache lacks the BM25 columns)."""
     import pyarrow.parquet as _pq
 
     from ..functions.index import build_inverted_index
 
-    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _pq.read_metadata(src).num_rows
+    st = os.stat(src)
+    fp = f"{n_docs}-{st.st_mtime_ns}-{st.st_size}"
     tag = os.path.normpath(sf_dir).replace(os.sep, "_")
-    idx_dir = f"/tmp/graft_index/{tag}-{n_docs}-v2"
+    idx_dir = f"/tmp/graft_index/{tag}-{fp}-v2"
     if not os.path.exists(os.path.join(idx_dir, "_DONE")):
         import shutil
 
@@ -1870,28 +1875,103 @@ FROM documents
 """
 
 
-def q_table_cells(sf_dir):
-    """T6 surface: cleaned table cell matrices as a queryable column — media
-    table over the flagship corpus, tables only, with per-table shape stats
-    derived from cells_json (no blob re-decode)."""
-    import json
+def q_price_quantiles_kll(sf_dir):
+    """KLL-sketch approximate quantiles over l_extendedprice — the
+    high-cardinality companion to the exact bounded-domain histogram path
+    (``quantity_quantiles``): prices are near-distinct per row, so the exact
+    (value, count) shuffle would carry one row per value; the KLL summary is
+    ~3k floats per batch regardless of scale. Rows-only driver check; the rank
+    error bound is pinned by tests/test_sketch_clusters.py."""
+    from ..functions.sketch import approx_quantiles
 
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = approx_quantiles(_t(sf_dir, "lineitem", ["l_extendedprice"]),
+                            "l_extendedprice", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array(vals, pa.float64())})
+
+
+def q_page_select(sf_dir):
+    """SQL-checked drive of the §6d page-range SELECTOR itself: each doc's
+    cleaned text, repeated 32× so documents genuinely wrap pages at every sf,
+    runs through the §6b layout engine as ONE paragraph span, then pages
+    [2, 3] are selected via ``stages.layout.make_page_range_batch``. Output =
+    the docs whose span touches the range, with the count of selected pages it
+    touches; the DuckDB mirror reproduces the 46-line fragment rule + range
+    intersection in closed form (a single fresh-page span occupies one
+    fragment per page 1..ceil(nlines/46))."""
+    from ..core.schema import SPAN_TYPE
+    from ..stages.layout import add_layout_batch, make_page_range_batch
+
+    def to_spans(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        clean = pc.binary_repeat(clean_text_arr(t), 32)
+        if isinstance(clean, pa.ChunkedArray):
+            clean = clean.combine_chunks()
+        n = len(clean)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(["paragraph"] * n, pa.string()), clean,
+             pa.array([""] * n, pa.string()),
+             pa.array(np.zeros(n, dtype=np.int32))],
+            fields=list(SPAN_TYPE))
+        offs = pa.array(np.arange(n + 1, dtype=np.int32))
+        return pa.table({"doc_id": b["doc_id"],
+                         "spans": pa.ListArray.from_arrays(offs, struct)})
+
+    def summarize(b: pa.Table) -> pa.Table:
+        meta = b["spans_meta"]
+        if isinstance(meta, pa.ChunkedArray):
+            meta = meta.combine_chunks()
+        doc_id = b["doc_id"]
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        lens = pc.list_value_length(meta).to_numpy(zero_copy_only=False)
+        keep = pa.array(lens > 0)
+        mv = meta.flatten()  # rows align with kept docs (empty lists drop out)
+        pos = mv.field("positions")
+        pages = pos.flatten().field("page_no").to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(pos).to_numpy(zero_copy_only=False)
+        nsel = np.bincount(par[(pages >= 2) & (pages <= 3)],
+                           minlength=len(mv)).astype(np.int64)
+        return pa.table({"doc_id": doc_id.filter(keep),
+                         "n_sel_pages": pa.array(nsel, pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(to_spans, batch_format="pyarrow")
+            .map_batches(add_layout_batch, batch_format="pyarrow")
+            .map_batches(make_page_range_batch(2, 3), batch_format="pyarrow")
+            .map_batches(summarize, batch_format="pyarrow"))
+
+
+SQL_PAGE_SELECT = f"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '{GLYPH_PAT}', ' ', 'g'),
+                             '{WS_RUN_PAT}', ' ', 'g'), {_TRIM_WS_SQL}) AS ct
+  FROM documents),
+n AS (SELECT doc_id,
+             greatest(1, CAST(ceil(32 * length(ct) / 80.0) AS BIGINT)) AS nlines
+      FROM c),
+p AS (SELECT doc_id, CAST(ceil(nlines / 46.0) AS BIGINT) AS np FROM n)
+SELECT doc_id, least(np, 3) - 1 AS n_sel_pages
+FROM p WHERE np >= 2
+"""
+
+
+def q_table_cells(sf_dir):
+    """T6 surface: per-table shape stats over the flagship corpus's media
+    table. The shape columns are materialized at media-table build time
+    (``extract.build_media_table`` has the decoded matrix in hand), so this
+    query is a pure filter + projection — no per-row json.loads."""
     from .extract import ExtractConfig, build_media_table
 
     media = build_media_table(_interleaved_corpus(sf_dir), ExtractConfig())
 
     def shape(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["content_type"], "table/x-synth"))
-        rows_n, cols_n, nulls_n = [], [], []
-        for cj in t["cells_json"].to_pylist():
-            cells = json.loads(cj)
-            rows_n.append(len(cells))
-            cols_n.append(len(cells[0]) if cells else 0)
-            nulls_n.append(sum(1 for r in cells for c in r if c is None))
-        return pa.table({"media_ref": t["media_ref"],
-                         "n_rows": pa.array(rows_n, pa.int32()),
-                         "n_cols": pa.array(cols_n, pa.int32()),
-                         "n_null_cells": pa.array(nulls_n, pa.int32())})
+        return t.select(["media_ref", "n_rows", "n_cols", "n_null_cells"])
 
     return media.map_batches(shape, batch_format="pyarrow")
 
@@ -2152,6 +2232,8 @@ QUERIES = {
     "span_positions": (q_span_positions, None),
     "span_fragments": (q_span_fragments, SQL_SPAN_FRAGMENTS),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
+    "page_select": (q_page_select, SQL_PAGE_SELECT),
+    "price_quantiles_kll": (q_price_quantiles_kll, None),
     "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),

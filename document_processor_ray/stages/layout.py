@@ -126,3 +126,46 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
         fields=list(SPANS_META_TYPE))
     meta_col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), meta)
     return batch.append_column("spans_meta", meta_col)
+
+
+def make_page_range_batch(first_page: int | None, last_page: int | None):
+    """F3 page-granularity analog (SPEC §6d; reference ``first_page`` /
+    ``last_page``, ``content_extractor.py:64-72``): keep only output spans with
+    at least one §6b position on a page in the inclusive range. Runs AFTER
+    layout (pages are an output construct of the synthetic layout engine);
+    ``spans``/``spans_meta`` are filtered in lockstep, kept spans keep their
+    original positions/refs, and a doc whose spans all fall outside the range
+    keeps an empty span list. Fully vectorized: per-position range test →
+    per-span any() via one bincount → one ``take`` per flat child array."""
+    lo = 1 if first_page is None else int(first_page)
+    hi = (1 << 31) - 1 if last_page is None else int(last_page)
+
+    def f(batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"]
+        meta_col = batch["spans_meta"]
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        if isinstance(meta_col, pa.ChunkedArray):
+            meta_col = meta_col.combine_chunks()
+        sv, s_offs = list_offsets(spans_col)
+        mv, _ = list_offsets(meta_col)
+        n_spans = len(mv)
+        pos = mv.field("positions")
+        pages = pos.flatten().field("page_no").to_numpy(zero_copy_only=False)
+        in_rng = (pages >= lo) & (pages <= hi)
+        pos_parent = pc.list_parent_indices(pos).to_numpy(zero_copy_only=False)
+        keep = np.bincount(pos_parent[in_rng], minlength=n_spans) > 0
+        keep_idx = pa.array(np.flatnonzero(keep))
+        span_doc = np.repeat(np.arange(len(s_offs) - 1), np.diff(s_offs))
+        kept_per_doc = (np.bincount(span_doc[keep], minlength=len(s_offs) - 1)
+                        if n_spans else np.zeros(len(s_offs) - 1, np.int64))
+        new_offs = pa.array(
+            np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32))
+        new_spans = pa.ListArray.from_arrays(new_offs, sv.take(keep_idx))
+        new_meta = pa.ListArray.from_arrays(new_offs, mv.take(keep_idx))
+        out = batch.set_column(
+            batch.schema.get_field_index("spans"), "spans", new_spans)
+        return out.set_column(
+            out.schema.get_field_index("spans_meta"), "spans_meta", new_meta)
+
+    return f

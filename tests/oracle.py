@@ -243,3 +243,19 @@ def layout_of(out_spans: list[dict]) -> list[dict]:
         metas.append({"ref": ref, "parent_ref": parent, "level": level,
                       "positions": positions})
     return metas
+
+
+# --- SPEC §6d: page-range selection over the laid-out output spans ----------
+
+
+def page_range_filter(out_spans: list[dict], first_page: int | None = None,
+                      last_page: int | None = None) -> list[dict]:
+    """Keep output spans with >= 1 layout position on a page in the inclusive
+    [first_page, last_page] range (None bounds open); SPEC §6d. Returns the
+    kept spans in order (positions/refs unchanged — they refer to the full
+    document's layout)."""
+    lo = 1 if first_page is None else first_page
+    hi = float("inf") if last_page is None else last_page
+    metas = layout_of(out_spans)
+    return [s for s, m in zip(out_spans, metas)
+            if any(lo <= p["page_no"] <= hi for p in m["positions"])]

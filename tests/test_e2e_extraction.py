@@ -177,8 +177,16 @@ def test_media_table_cells_match_oracle():
     for m in media:
         assert m["media_ref"] in want
         if m["content_type"] == "table/x-synth":
-            assert json.loads(m["cells_json"]) == want[m["media_ref"]]
+            cells = json.loads(m["cells_json"])
+            assert cells == want[m["media_ref"]]
+            # build-time shape columns equal re-derivation from the matrix
+            assert m["n_rows"] == len(cells)
+            assert m["n_cols"] == (len(cells[0]) if cells else 0)
+            assert m["n_null_cells"] == sum(
+                1 for r in cells for c in r if c is None)
             n_tables += 1
         else:
             assert m["cells_json"] is None
+            assert m["n_rows"] is None and m["n_cols"] is None
+            assert m["n_null_cells"] is None
     assert n_tables > 5

@@ -144,3 +144,43 @@ def test_layout_invariants(spans):
             assert m["parent_ref"] in seen
             assert m["level"] == by_ref[m["parent_ref"]]["level"] + 1
         seen.add(m["ref"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_page_range_selection_matches_oracle():
+    """SPEC §6d: pipeline first_page/last_page keeps exactly the spans the
+    oracle's independent page_range_filter keeps, spans_meta stays aligned
+    with ORIGINAL positions, and out-of-range docs keep empty span lists."""
+    corpus = gen_corpus(150, seed=31, giant_rate=0.03)
+    expected = {r["doc_id"]: oracle.extract_doc(r) for r in corpus.to_pylist()}
+
+    out = build_extraction(
+        corpus, ExtractConfig(split_threshold=120, chunk_size=40,
+                              first_page=2, last_page=3)).take_all()
+    assert len(out) == len(expected)
+    n_nonempty = n_filtered = 0
+    for row in out:
+        exp = expected[row["doc_id"]]["spans"]
+        want = oracle.page_range_filter(exp, 2, 3)
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
+        assert got == [(s["kind"], s["text"], s["media_ref"]) for s in want]
+        metas_full = oracle.layout_of(exp)
+        want_meta = [m for s, m in zip(exp, metas_full)
+                     if any(2 <= p["page_no"] <= 3 for p in m["positions"])]
+        assert _meta_tuples(row["spans_meta"]) == _meta_tuples(want_meta)
+        n_nonempty += bool(row["spans"])
+        n_filtered += len(exp) != len(want)
+    # the range must actually select on this corpus: some docs keep spans,
+    # some docs lose spans
+    assert n_nonempty > 10 and n_filtered > 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_page_range_requires_layout():
+    import pytest as pt
+
+    from document_processor_ray.data.synth import gen_corpus as gc
+
+    with pt.raises(ValueError):
+        build_extraction(gc(5, seed=1),
+                         ExtractConfig(emit_layout=False, first_page=2))

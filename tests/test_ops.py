@@ -130,6 +130,40 @@ def test_verify_pairs_bucketed_emit_counts():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lsh_hot_bucket_cap():
+    """~10k identical docs put every member in ONE bucket per band. The
+    MAX_BUCKET cap degrades those buckets to adjacent-chain linking: bounded
+    pairs (O(n), not O(n^2)), bounded time, overflow metric visible, and the
+    whole set still collapses to a single cluster."""
+    docs = [{"doc_id": i, "text": "identical content repeated " * 8}
+            for i in range(10_000)]
+    ds = rd.from_items(docs)
+    dd.bucket_overflow_stats(reset=True)
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    # chain linking: each band emits the same 9999 sorted-adjacent pairs
+    assert len(pairs) == 9_999
+    assert (pairs.est_jaccard == 1.0).all()
+    stats = dd.bucket_overflow_stats()
+    assert stats["buckets"] > 0 and stats["by_kind"].get("minhash", 0) > 0
+    clusters = dd.dedup_clusters(rd.from_pandas(pairs[["a", "b"]])).to_pandas()
+    assert len(clusters) == 10_000
+    assert clusters["cluster"].nunique() == 1 and clusters["cluster"].iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_hot_bucket_cap():
+    """Same guard on the SimHash family: identical docs overflow, chain-link,
+    and report on the shared metric."""
+    docs = [{"doc_id": i, "text": "same words everywhere " * 6}
+            for i in range(2_000)]
+    dd.bucket_overflow_stats(reset=True)
+    pairs = dd.simhash_pairs(rd.from_items(docs), max_hamming=3).to_pandas()
+    assert len(pairs) == 1_999
+    assert (pairs.hamming == 0).all()
+    assert dd.bucket_overflow_stats()["by_kind"].get("simhash", 0) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_matches_numpy_bruteforce():
     rng = np.random.RandomState(3)
     mat = rng.randn(200, 16).astype(np.float32)

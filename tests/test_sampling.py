@@ -102,3 +102,29 @@ def test_upsample_mixture_matches_naive():
     plain = {i for i in ids if hashlib.md5(str(i).encode()).digest()[0] < 77}
     salted = {i for i, e in want if e == 2}
     assert plain != salted
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sampling_boundary_validation():
+    """Rates past 255 (inexpressible in the 2-hex-char SQL mirror) and empty
+    strata dicts are handled explicitly rather than silently diverging."""
+    import pyarrow as pa
+    import pytest as pt
+
+    import ray.data as rd
+
+    from document_processor_ray.functions.sampling import (
+        deterministic_sample, stratified_sample, upsample_mixture)
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(200), pa.int64()),
+                                 "s": pa.array(["x", "y"] * 100)}))
+    with pt.raises(ValueError):
+        upsample_mixture(ds, "k", n_full=1, frac_bytes=256).to_pandas()
+    with pt.raises(ValueError):
+        stratified_sample(ds, "k", "s", rates={"x": 300}).to_pandas()
+    with pt.raises(ValueError):
+        stratified_sample(ds, "k", "s", rates={}, default_bytes=999).to_pandas()
+    # empty rates dict == flat sample at the default rate (used to IndexError)
+    got = stratified_sample(ds, "k", "s", rates={}, default_bytes=26).to_pandas()
+    want = deterministic_sample(ds, "k", keep_bytes=26).to_pandas()
+    assert sorted(got["k"]) == sorted(want["k"])

@@ -141,3 +141,70 @@ def test_dedup_clusters_converges_at_exact_iteration_cap():
     out = {r["node"]: r["cluster"]
            for r in dedup_clusters(pairs, n_iters=1, driver_threshold=0).take_all()}
     assert out == {1: 1, 2: 1}
+
+
+def test_kll_rank_error_bound():
+    """KLL quantiles land within 2.5% rank error of exact order statistics on
+    a skewed 50k-value stream (k=200 → theoretical O(1/k) rank error)."""
+    import numpy as np
+
+    from document_processor_ray.functions.sketch import KLL
+
+    rng = np.random.RandomState(11)
+    data = rng.lognormal(mean=4.0, sigma=1.5, size=50_000)
+    s = KLL(k=200)
+    for chunk in np.array_split(data, 23):  # streaming adds
+        s.add(chunk)
+    assert s.n == len(data)
+    srt = np.sort(data)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        v = s.quantile(q)
+        rank = np.searchsorted(srt, v, side="right") / len(srt)
+        assert abs(rank - q) < 0.025, (q, rank)
+    # bounded summary: ~k/(1-2/3) = 3k retained items regardless of n
+    assert s.n_retained() < 4 * 200
+
+
+def test_kll_merge_and_serde():
+    """merge(a, b) behaves like a sketch of the concatenation (same bound),
+    weights are conserved exactly, and serialization round-trips bit-exact."""
+    import numpy as np
+
+    from document_processor_ray.functions.sketch import KLL
+
+    rng = np.random.RandomState(5)
+    a, b = rng.exponential(10, 30_000), rng.exponential(40, 20_000)
+    s1, s2 = KLL(k=200), KLL(k=200, seed=13)
+    s1.add(a)
+    s2.add(b)
+    merged = KLL.from_bytes(s1.to_bytes()).merge(KLL.from_bytes(s2.to_bytes()))
+    assert merged.n == 50_000
+    srt = np.sort(np.concatenate([a, b]))
+    for q in (0.1, 0.5, 0.9):
+        rank = np.searchsorted(srt, merged.quantile(q), side="right") / len(srt)
+        assert abs(rank - q) < 0.03, (q, rank)
+    # serde round-trip preserves the summary exactly
+    rt = KLL.from_bytes(merged.to_bytes())
+    assert rt.n == merged.n
+    assert all(np.array_equal(x, y) for x, y in zip(rt.levels, merged.levels))
+    assert [rt.quantile(q) for q in (0.2, 0.6)] == \
+        [merged.quantile(q) for q in (0.2, 0.6)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_distributed():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from document_processor_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    data = rng.gamma(2.0, 300.0, size=40_000)
+    ds = rd.from_arrow(pa.table({"price": pa.array(data)})).repartition(16)
+    got = approx_quantiles(ds, "price", [0.25, 0.5, 0.9])
+    srt = np.sort(data)
+    for q, v in zip([0.25, 0.5, 0.9], got):
+        rank = np.searchsorted(srt, v, side="right") / len(srt)
+        assert abs(rank - q) < 0.03, (q, rank)
