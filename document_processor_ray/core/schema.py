@@ -45,6 +45,11 @@ SPANS_META_TYPE = pa.struct(
         ("ref", pa.string()),
         ("parent_ref", pa.string()),
         ("level", pa.int32()),
+        # reference keeps content_text and caption_text distinct
+        # (models.py:51-53); span text folds the caption in for media kinds,
+        # and this field restores the distinction: cleaned caption for media
+        # spans, null otherwise (SPEC §6b)
+        ("caption", pa.string()),
         ("positions", pa.list_(POSITION_TYPE)),
     ]
 )

@@ -108,6 +108,17 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
                 p = cur_section or cur_title or (ROOT_REF, 0)
                 parents[j], levels[j] = p[0], p[1] + 1
 
+    # caption fidelity field (SPEC §6b; reference content_text vs caption_text,
+    # models.py:51-53): media spans' text IS the cleaned caption — surface it;
+    # null for every other kind
+    if n_child:
+        media_mask = pc.is_in(values.field("kind"),
+                              value_set=pa.array(sorted(MEDIA_KINDS)))
+        captions = pc.if_else(media_mask, values.field("text"),
+                              pa.scalar(None, pa.string()))
+    else:
+        captions = pa.array([], pa.string())
+
     n_pos = len(p_pages)
     pos_struct = pa.StructArray.from_arrays(
         [pa.array(p_pages, pa.int32()),
@@ -122,7 +133,7 @@ def add_layout_batch(batch: pa.Table) -> pa.Table:
     positions_col = pa.ListArray.from_arrays(pos_offs, pos_struct)
     meta = pa.StructArray.from_arrays(
         [pa.array(refs, pa.string()), pa.array(parents, pa.string()),
-         pa.array(levels, type=pa.int32()), positions_col],
+         pa.array(levels, type=pa.int32()), captions, positions_col],
         fields=list(SPANS_META_TYPE))
     meta_col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), meta)
     return batch.append_column("spans_meta", meta_col)

@@ -241,6 +241,9 @@ def layout_of(out_spans: list[dict]) -> list[dict]:
             p = section if section else (title if title else ("#/", 0))
             parent, level = p[0], p[1] + 1
         metas.append({"ref": ref, "parent_ref": parent, "level": level,
+                      # SPEC §6b caption fidelity: media-span text IS the
+                      # cleaned caption; null for other kinds
+                      "caption": s["text"] if kind in MEDIA_KINDS else None,
                       "positions": positions})
     return metas
 

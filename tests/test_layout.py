@@ -21,7 +21,8 @@ def _pos_tuples(positions):
 
 
 def _meta_tuples(metas):
-    return [(m["ref"], m["parent_ref"], m["level"], _pos_tuples(m["positions"]))
+    return [(m["ref"], m["parent_ref"], m["level"], m["caption"],
+             _pos_tuples(m["positions"]))
             for m in metas]
 
 
