@@ -141,12 +141,36 @@ def _init_ray():
     ctx.execution_options.verbose_progress = False
 
 
-def _recycle_ray(sleep_s: int = 5):
+def _warm_batch(b):
+    # pay per-worker library import cost in the UNTIMED warmup wave, not in
+    # the first timed query of a fresh session
+    import document_processor_ray.pipelines.queries  # noqa: F401
+
+    return b
+
+
+def _warm_workers():
+    """Fan a no-op task wave across the cluster so worker processes exist and
+    have imported the library before the first timed query (a fresh session
+    spawns+imports workers lazily — measured 3-10 s added to the first query
+    of each recycled session at 32 CPUs)."""
+    import ray
+    import ray.data as rd
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    (rd.range(n * 4, override_num_blocks=n * 4)
+     .map_batches(_warm_batch, batch_format="pyarrow", batch_size=None)
+     .count())
+
+
+def _recycle_ray(sleep_s: int = 5, warm: bool = True):
     import ray
 
     ray.shutdown()
     time.sleep(sleep_s)
     _init_ray()
+    if warm:
+        _warm_workers()
 
 
 def run_bench() -> dict:
@@ -183,8 +207,9 @@ def run_bench() -> dict:
         if attempt > 0:
             # fresh Ray session per attempt: executions within one session drift
             # slower (object-store state accumulation), measured +10-15% on the
-            # second run; pure-CPU work shows no such drift
-            _recycle_ray()
+            # second run; pure-CPU work shows no such drift. warm=False: the
+            # headline has always included worker spawn (cross-round comparable)
+            _recycle_ray(warm=False)
         out_dir = f"/tmp/graft_bench/out-{CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
