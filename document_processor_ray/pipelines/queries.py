@@ -2106,6 +2106,77 @@ WHERE ga.doc_id % 5 = 0
 """
 
 
+def q_dup_clusters(sf_dir):
+    """Distributed connected components over a DETERMINISTIC near-dup edge
+    set, hash-checked against a DuckDB recursive-CTE mirror — the cluster
+    resolution operator (``dedup_clusters``: driver union-find under the
+    bounded probe, min-label propagation at scale) is otherwise only
+    rows-only-checkable because LSH candidate generation is hash-dependent.
+
+    Edges: (doc_id, doc_id+1) for doc_id % 5 != 4 (chains of ≤5 nodes that
+    never wrap, since doc_ids are contiguous 0..N-1 with N % 5 == 0 at every
+    sf), kept iff distinct-unigram Jaccard ≥ 0.6 — integer-exact as
+    5·|∩| ≥ 3·|∪| so both engines cut on the same rule. Output: one row per
+    node appearing in ≥1 edge, cluster_id = min doc_id of its component."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy()
+        sel = idn[idn % 5 != 4]
+        return pa.table({"a": pa.array(sel, pa.int64()),
+                         "b": pa.array(sel + 1, pa.int64())})
+
+    cand = _docs(sf_dir, ["doc_id"]).map_batches(mk, batch_format="pyarrow")
+    scored = dd.verify_pairs_exact_bucketed(cand, docs, n=1, threshold=0.0,
+                                            emit_counts=True)
+
+    def edge_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b["n_union"], 0),
+            pc.greater_equal(pc.multiply(b["n_inter"], pa.scalar(5, pa.int64())),
+                             pc.multiply(b["n_union"], pa.scalar(3, pa.int64()))))
+        return b.filter(keep).select(["a", "b"])
+
+    edges = scored.map_batches(edge_filter, batch_format="pyarrow")
+    clusters = dd.dedup_clusters(edges)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["node"], pa.int64()),
+            "cluster_id": pc.cast(b["cluster"], pa.int64()),
+        })
+
+    return clusters.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                                   x -> x <> '')) AS gs
+  FROM documents),
+cand AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b,
+         len(list_intersect(ga.gs, gb.gs)) AS n_inter,
+         len(list_distinct(list_concat(ga.gs, gb.gs))) AS n_union
+  FROM toks ga JOIN toks gb ON gb.doc_id = ga.doc_id + 1
+  WHERE ga.doc_id % 5 <> 4),
+edges AS (
+  SELECT a, b FROM cand WHERE n_union > 0 AND 5*n_inter >= 3*n_union),
+sym AS (
+  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+reach(n, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.n)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n
+"""
+
+
 def q_media_decode_stats(sf_dir):
     """Multimodal decode stage over the flagship corpus payload column:
     per-(content_type, ok) counts and size envelope."""
@@ -2238,6 +2309,7 @@ QUERIES = {
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),
     "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "media_decode_stats": (q_media_decode_stats, None),
     "frame_sample": (q_frame_sample, None),
 }

@@ -208,3 +208,48 @@ def test_approx_quantiles_distributed():
     for q, v in zip([0.25, 0.5, 0.9], got):
         rank = np.searchsorted(srt, v, side="right") / len(srt)
         assert abs(rank - q) < 0.03, (q, rank)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_query_matches_python_cc():
+    """q_dup_clusters (deterministic unigram-Jaccard edges → distributed CC)
+    vs an independent pure-Python union-find over the same parquet — the
+    pytest twin of the DuckDB recursive-CTE mirror (SQL_DUP_CLUSTERS)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("driver testdata sf0.001 not present")
+    import pyarrow.parquet as pq
+
+    from document_processor_ray.pipelines.queries import q_dup_clusters
+
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in q_dup_clusters(sf_dir).take_all()}
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    toks = {i: set((s or "").split())
+            for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a in sorted(toks):
+        if a % 5 == 4 or (a + 1) not in toks:
+            continue
+        ga, gb = toks[a], toks[a + 1]
+        union = len(ga | gb)
+        if union > 0 and 5 * len(ga & gb) >= 3 * union:
+            nodes |= {a, a + 1}
+            ra, rb = find(a), find(a + 1)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    want = {(n, find(n)) for n in nodes}
+    assert got == want
