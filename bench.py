@@ -326,8 +326,23 @@ def machine_parallel_slowdown(lo_pool: int, hi_pool: int, n: int = 60000) -> flo
 
 def run_scaling() -> dict:
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    # Pre-registered abort gate (round 4): external host-load waves (hypervisor
+    # CPU steal, invisible to loadavg) were measured to depress the 32-CPU
+    # level ~10% whenever the pure-CPU probe reads >= 1.15 (BASELINE.md round-4
+    # note). With GRAFT_SCALING_GATE set, the probe runs BEFORE each level and
+    # a noisy reading aborts the whole measurement WITHOUT recording — the
+    # decision precedes the level's timing, so it cannot cherry-pick the
+    # ratio. Unset (default): never abort, always record (driver behavior).
+    gate = float(os.environ.get("GRAFT_SCALING_GATE", "0") or 0)
     results = {}
     for ncpu in (lo, hi):
+        if gate:
+            slow = machine_parallel_slowdown(6, 24, n=30000)
+            if slow > gate:
+                print(json.dumps({"metric": "scaling_aborted_preflight",
+                                  "level_cpus": ncpu, "probe": round(slow, 3),
+                                  "gate": gate}), file=sys.stderr)
+                raise SystemExit(3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_EFFORT=str(SCALING_EFFORT),
                    GRAFT_SKIP_QUERIES="1")
