@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "customers_no_orders", "regional_volume", "tfidf_top_term", "bigram_freq",
     "chunk_windows", "bm25_topk", "term_search", "repeat_customers",
     "quality_score", "lineitem_rollup", "pii_scrub", "jaccard_adjacent",
+    # round 4 additions
+    "dup_clusters",
 ]
 
 
