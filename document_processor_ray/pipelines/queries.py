@@ -2177,6 +2177,29 @@ FROM reach GROUP BY n
 """
 
 
+def q_epoch_shuffle(sf_dir):
+    """Deterministic epoch-1 training shuffle over documents: global 0-based
+    position of every doc in the md5-of-(id|epoch) order plus its round-robin
+    shard — the zipWithIndex pattern (analytic bucket offsets + one coarse
+    co-partition; functions/shuffle.py). SQL mirror: ROW_NUMBER over the same
+    md5 ordering."""
+    from ..functions.shuffle import global_positions
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return global_positions(docs, "doc_id", epoch=1, n_shards=8)
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|1'),
+                            doc_id) - 1 AS p
+  FROM documents)
+SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(p % 8 AS BIGINT) AS shard
+FROM ranked
+"""
+
+
 def q_media_decode_stats(sf_dir):
     """Multimodal decode stage over the flagship corpus payload column:
     per-(content_type, ok) counts and size envelope."""
@@ -2310,6 +2333,7 @@ QUERIES = {
     "jaccard_verify": (q_jaccard_verify, None),
     "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "media_decode_stats": (q_media_decode_stats, None),
     "frame_sample": (q_frame_sample, None),
 }

@@ -128,3 +128,31 @@ def test_sampling_boundary_validation():
     got = stratified_sample(ds, "k", "s", rates={}, default_bytes=26).to_pandas()
     want = deterministic_sample(ds, "k", keep_bytes=26).to_pandas()
     assert sorted(got["k"]) == sorted(want["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_positions_is_permutation_and_epoch_sensitive():
+    """functions/shuffle.py: pos is exactly 0..N-1 (a permutation), orders
+    differ between epochs, shards are round-robin of pos, and the result is
+    invariant to input partitioning (the determinism contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from document_processor_ray.functions.shuffle import global_positions
+
+    rows = [{"doc_id": i} for i in range(977)]
+    out1 = {r["doc_id"]: (r["pos"], r["shard"])
+            for r in global_positions(rd.from_items(rows), epoch=1,
+                                      n_shards=4).take_all()}
+    assert sorted(p for p, _ in out1.values()) == list(range(977))
+    assert all(s == p % 4 for p, s in out1.values())
+
+    out2 = {r["doc_id"]: r["pos"]
+            for r in global_positions(rd.from_items(rows), epoch=2).take_all()}
+    assert sorted(out2.values()) == list(range(977))
+    assert any(out1[d][0] != out2[d] for d in out2)  # epochs reorder
+
+    repart = rd.from_items(rows).repartition(13)
+    out1b = {r["doc_id"]: r["pos"]
+             for r in global_positions(repart, epoch=1).take_all()}
+    assert out1b == {d: p for d, (p, _) in out1.items()}
