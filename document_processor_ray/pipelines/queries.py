@@ -649,6 +649,55 @@ def q_embedding_label_dist(sf_dir):
 SQL_EMBEDDING_LABEL_DIST = "SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label"
 
 
+def q_embedding_centroids(sf_dir):
+    """Grouped vector aggregate — the centroid building block for IVF/k-means
+    seeding: per label, vector count and EXACT per-dimension quantized sums
+    (first 4 dims). Per-batch vectorized partials (one np.add.at over the
+    zero-copy flat matrix) then a tiny label-keyed final sum — the shuffle
+    carries n_labels × 6 ints, never vectors. Quantization floor(double·1000)
+    is bit-identical in numpy and DuckDB (both promote the float32 element to
+    double first), making a float-vector aggregate value-hash-checkable;
+    centroid means are qK / 1000 / n_vecs downstream."""
+    from ..core.vecops import ids_and_matrix
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, mat = ids_and_matrix(b, "vec_id", "embedding", normalize=False,
+                                dtype=np.float64)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             **{f"q{i+1}": pa.array([], pa.int64())
+                                for i in range(4)}})
+        q = np.floor(mat[:, :4] * 1000.0).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), 4), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"label": pa.array(uniq.astype(np.int32)),
+                         "n_vecs": pa.array(counts),
+                         **{f"q{i+1}": pa.array(sums[:, i])
+                            for i in range(4)}})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("label").aggregate(
+        Sum(on="n_vecs", alias_name="n_vecs"),
+        *[Sum(on=f"q{i+1}", alias_name=f"q{i+1}") for i in range(4)])
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS q1,
+       CAST(SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS q2,
+       CAST(SUM(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS q3,
+       CAST(SUM(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS q4
+FROM embeddings GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windows over the event stream (SQL-checked)
 # ---------------------------------------------------------------------------
@@ -2334,6 +2383,7 @@ QUERIES = {
     "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "media_decode_stats": (q_media_decode_stats, None),
     "frame_sample": (q_frame_sample, None),
 }
