@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "chunk_windows", "bm25_topk", "term_search", "repeat_customers",
     "quality_score", "lineitem_rollup", "pii_scrub", "jaccard_adjacent",
     # round 4 additions
-    "dup_clusters", "epoch_shuffle", "embedding_centroids",
+    "dup_clusters", "epoch_shuffle", "embedding_centroids", "repetition_stats",
 ]
 
 

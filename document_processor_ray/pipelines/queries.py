@@ -312,6 +312,119 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv 2112.11446 §A.1.1): per-document duplicated-trigram counts and the
+    most-frequent word bigram — the raw inputs of the "fraction of characters
+    in duplicate n-grams / in the most common n-gram" filters used to drop
+    templated or boilerplate text from web-scale training corpora. The filter
+    itself is then a trivial predicate over this table.
+
+    Shuffle-free by construction: every statistic depends only on the
+    document's own token stream, so the whole operator is ONE vectorized
+    map_batches pass — RE2 tokenize, same-document adjacency masks over the
+    flat token stream (the bigram_freq kernel), per-doc total/distinct
+    trigram counts via Arrow group_by count/count_distinct, and the per-doc
+    argmax bigram via a C-level multi-key sort + first-occurrence mask.
+    Integer/string outputs keep the DuckDB mirror hash-exact."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        par = _arr(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        p = par.to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(p, minlength=n).astype(np.int64)
+        n_tri = np.zeros(n, np.int64)
+        n_tri_d = np.zeros(n, np.int64)
+        top_g = np.full(n, "", dtype=object)
+        top_n = np.zeros(n, np.int64)
+        if len(flat) >= 2:
+            same2 = p[:-1] == p[1:]
+            m2 = pa.array(same2)
+            big = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1).filter(m2),
+                flat.slice(1).filter(m2), " ")
+            counted = (pa.table({"d": pa.array(p[:-1][same2]), "g": big})
+                       .group_by(["d", "g"]).aggregate([("g", "count")])
+                       .sort_by([("d", "ascending"), ("g_count", "descending"),
+                                 ("g", "ascending")]))
+            dv = counted["d"].to_numpy(zero_copy_only=False)
+            first = np.ones(len(dv), bool)
+            first[1:] = dv[1:] != dv[:-1]
+            sel = counted.take(pa.array(np.flatnonzero(first)))
+            sd = sel["d"].to_numpy(zero_copy_only=False)
+            top_g[sd] = np.asarray(sel["g"].to_pylist(), dtype=object)
+            top_n[sd] = sel["g_count"].to_numpy(zero_copy_only=False)
+        if len(flat) >= 3:
+            same3 = (p[:-2] == p[1:-1]) & (p[1:-1] == p[2:])
+            m3 = pa.array(same3)
+            tri = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 2).filter(m3),
+                flat.slice(1, len(flat) - 2).filter(m3),
+                flat.slice(2).filter(m3), " ")
+            tt = (pa.table({"d": pa.array(p[:-2][same3]), "g": tri})
+                  .group_by(["d"])
+                  .aggregate([("g", "count"), ("g", "count_distinct")]))
+            td = tt["d"].to_numpy(zero_copy_only=False)
+            n_tri[td] = tt["g_count"].to_numpy(zero_copy_only=False)
+            n_tri_d[td] = tt["g_count_distinct"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "n_trigrams": pa.array(n_tri),
+            "n_distinct_trigrams": pa.array(n_tri_d),
+            "top_bigram": pa.array(top_g.tolist(), pa.string()),
+            "top_bigram_n": pa.array(top_n),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos FROM tl
+), big AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM toks QUALIFY g IS NOT NULL
+), bigc AS (
+  SELECT doc_id, g, count(*) AS ng FROM big GROUP BY doc_id, g
+), topb AS (
+  SELECT doc_id, g, ng FROM bigc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ng DESC, g ASC) = 1
+), tri AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY g IS NOT NULL
+), tric AS (
+  SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d
+  FROM tri GROUP BY doc_id
+)
+SELECT tl.doc_id,
+       CAST(len(tl.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tric.n_tri, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(tric.n_tri_d, 0) AS BIGINT) AS n_distinct_trigrams,
+       COALESCE(topb.g, '') AS top_bigram,
+       CAST(COALESCE(topb.ng, 0) AS BIGINT) AS top_bigram_n
+FROM tl
+LEFT JOIN topb ON tl.doc_id = topb.doc_id
+LEFT JOIN tric ON tl.doc_id = tric.doc_id
+"""
+
+
 def q_quantity_quantiles(sf_dir):
     """Exact distributed discrete quantiles over a low-cardinality integer
     domain: per-batch value_counts partials collapse the fact table to
@@ -2319,6 +2432,7 @@ QUERIES = {
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
     "bm25_topk": (q_bm25_topk, None),

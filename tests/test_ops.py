@@ -296,3 +296,35 @@ def test_simhash_batch_path_equals_scalar_reference():
     out = SimHasher()(batch)
     ref = SimHasher()
     assert out["simhash"].to_pylist() == [ref.simhash(t) for t in texts]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_stats_matches_naive(tmp_path):
+    # vectorized Gopher-repetition kernel vs a naive per-doc Python oracle,
+    # including empty / single-token / whitespace-run / heavy-repeat docs
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from document_processor_ray.pipelines.queries import q_repetition_stats
+
+    texts = ["", "one", "a b", "a a a a a", "x y x y x y z",
+             "  spaced\t\tout   tokens  ", "u v w " * 10 + "end",
+             "b a b a c c c", "solo pair solo pair other solo pair"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (q_repetition_stats(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, txt in enumerate(texts):
+        toks = [t for t in re.split(r"[ \t\n\r\f]+", txt) if t]
+        bigs = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        tris = Counter(" ".join(p) for p in zip(toks, toks[1:], toks[2:]))
+        top = min(bigs.items(), key=lambda kv: (-kv[1], kv[0])) if bigs else ("", 0)
+        row = got.iloc[i]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_trigrams"] == sum(tris.values())
+        assert row["n_distinct_trigrams"] == len(tris)
+        assert (row["top_bigram"], row["top_bigram_n"]) == top
