@@ -754,6 +754,44 @@ def q_knn_ivf(sf_dir):
                               qvecs, qids, k=10)
 
 
+def q_kmeans_assign(sf_dir):
+    """One spherical k-means ASSIGNMENT step against deterministic seed
+    centroids (the k lowest-id vectors): nearest centroid by cosine, ties to
+    the lowest centroid id. This is the SQL-checkable core of Lloyd's loop —
+    one shuffle-free pass, centroids broadcast once (functions/cluster.py);
+    the full iterated fit is `kmeans_clusters` (rows-only: a recursive float
+    fixpoint has no faithful SQL mirror)."""
+    from ..functions import cluster as cl
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = cl.lowest_id_vectors(ds, k=10)
+    return cl.assign(ds, cent)
+
+
+SQL_KMEANS_ASSIGN = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           ORDER BY vec_id LIMIT 10),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.ce) AS s
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cid AS cluster FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
+"""
+
+
+def q_kmeans_clusters(sf_dir):
+    """Full distributed spherical k-means (k=10, 5 Lloyd iterations): corpus
+    bucketing by embedding similarity for mixture balancing / cluster-sharded
+    dedup / IVF codebooks. Dataset materialized once, per-iteration update
+    reduced via long-form (cluster, dim, sum) partials — the driver only sees
+    k x (d+1) numbers per iteration (functions/cluster.py)."""
+    from ..functions import cluster as cl
+
+    return cl.kmeans(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     k=10, n_iter=5)
+
+
 def q_embedding_label_dist(sf_dir):
     return _t(sf_dir, "embeddings", ["label"]).groupby("label").aggregate(
         Count(alias_name="n_vecs"))
@@ -2448,6 +2486,8 @@ QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, None),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "kmeans_clusters": (q_kmeans_clusters, None),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),

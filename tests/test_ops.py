@@ -328,3 +328,46 @@ def test_repetition_stats_matches_naive(tmp_path):
         assert row["n_trigrams"] == sum(tris.values())
         assert row["n_distinct_trigrams"] == len(tris)
         assert (row["top_bigram"], row["top_bigram_n"]) == top
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_recovers_separated_clusters():
+    # 3 well-separated blobs; ids 0,1,2 seed one blob each (init = lowest-id
+    # vectors), 5 Lloyd iterations must recover the exact ground-truth partition
+    from document_processor_ray.functions import cluster as cl
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3, 8)
+    ids, vecs, truth = [], [], []
+    for i in range(90):
+        c = i % 3  # ids 0,1,2 land in distinct blobs
+        v = centers[c] + 0.05 * rng.randn(8)
+        ids.append(i)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+        truth.append(c)
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                                 "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    got = {r["vec_id"]: r["cluster"] for r in cl.kmeans(ds, k=3, n_iter=5).take_all()}
+    by_cluster = {}
+    for i, c in got.items():
+        by_cluster.setdefault(c, set()).add(i)
+    want = {c: {i for i in range(90) if i % 3 == c} for c in range(3)}
+    assert sorted(map(frozenset, by_cluster.values())) == \
+        sorted(map(frozenset, want.values()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_assign_tie_and_labels():
+    # exact-tie vector equidistant from two centroids -> lowest centroid index;
+    # labels= renames clusters in the output
+    from document_processor_ray.functions import cluster as cl
+
+    cents = np.eye(2, 4)
+    tie = np.array([2 ** -0.5, 2 ** -0.5, 0, 0])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([cents[1].tolist(), tie.tolist(),
+                               cents[0].tolist()], pa.list_(pa.float32()))}))
+    got = {r["vec_id"]: r["cluster"]
+           for r in cl.assign(ds, cents, labels=np.array([10, 20])).take_all()}
+    assert got == {0: 20, 1: 10, 2: 10}
