@@ -977,6 +977,78 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_price_qty_corr(sf_dir):
+    """Grouped Pearson correlation as a distributed statistical aggregate.
+
+    The scale trick is EXACT integer sufficient statistics: quantize both
+    variables to integers (quantity is integral already; price floored to
+    whole units so sum(y*y) stays within int64 at any realistic SF), then the
+    five sums (sx, sy, sxy, sx2, sy2) + count are order-insensitive int64
+    partials — per-batch Arrow group_by shrinks every batch to <=3 rows, one
+    bounded groupby-sum combines them, and the final correlation is ONE fixed
+    IEEE-double expression over six integers, so the DuckDB mirror (same
+    casts, same op order) is bit-identical — the `quality_score` pattern
+    applied to a multi-variable moment aggregate."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.floor(b["l_extendedprice"]), pa.int64())
+        t = pa.table({"l_returnflag": b["l_returnflag"], "x": x, "y": y,
+                      "xy": pc.multiply(x, y), "x2": pc.multiply(x, x),
+                      "y2": pc.multiply(y, y)})
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("x2", "sum"),
+             ("y2", "sum"), ("x", "count")])
+        return g.rename_columns(["l_returnflag", "sx", "sy", "sxy", "sx2",
+                                 "sy2", "n"])
+
+    combined = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_returnflag")
+                .aggregate(Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+                           Sum("sxy", alias_name="sxy"), Sum("sx2", alias_name="sx2"),
+                           Sum("sy2", alias_name="sy2"), Sum("n", alias_name="n_rows")))
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_rows"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx2 = b["sx2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy2 = b["sy2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        corr = (n * sxy - sx * sy) / (np.sqrt(n * sx2 - sx * sx)
+                                      * np.sqrt(n * sy2 - sy * sy))
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n_rows": pc.cast(pc.round(b["n_rows"]), pa.int64()),
+                         "corr_qp": pa.array(corr)})
+
+    return combined.map_batches(final, batch_format="pyarrow")
+
+
+SQL_PRICE_QTY_CORR = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n_rows AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp
+FROM s
+"""
+
+
 def q_ship_window_agg(sf_dir):
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
 
@@ -2499,6 +2571,7 @@ QUERIES = {
     "html_strip_stats": (q_html_strip_stats, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
     "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),

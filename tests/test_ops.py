@@ -371,3 +371,27 @@ def test_kmeans_assign_tie_and_labels():
     got = {r["vec_id"]: r["cluster"]
            for r in cl.assign(ds, cents, labels=np.array([10, 20])).take_all()}
     assert got == {0: 20, 1: 10, 2: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_price_qty_corr_matches_numpy(tmp_path):
+    # integer-sufficient-statistics corr vs np.corrcoef on the same quantized
+    # values (different algorithm, so tolerance instead of bit equality)
+    import pyarrow.parquet as pq
+
+    from document_processor_ray.pipelines.queries import q_price_qty_corr
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    flag = rng.choice(["A", "N", "R"], size=n)
+    qty = rng.randint(1, 51, size=n).astype(np.float64)
+    price = qty * 1000 + rng.uniform(0, 20000, size=n)  # correlated + noise
+    pq.write_table(pa.table({"l_returnflag": flag, "l_quantity": qty,
+                             "l_extendedprice": price}),
+                   tmp_path / "lineitem.parquet")
+    got = q_price_qty_corr(str(tmp_path)).to_pandas().set_index("l_returnflag")
+    for f in "ANR":
+        m = flag == f
+        want = np.corrcoef(qty[m], np.floor(price[m]))[0, 1]
+        assert got.loc[f, "n_rows"] == m.sum()
+        assert abs(got.loc[f, "corr_qp"] - want) < 1e-9
