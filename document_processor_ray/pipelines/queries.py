@@ -425,6 +425,48 @@ LEFT JOIN tric ON tl.doc_id = tric.doc_id
 """
 
 
+def q_sequence_pack(sf_dir):
+    """GPT-style sequence packing: assign every document a token-position
+    range in the concatenated corpus stream (ascending doc_id) and the
+    fixed-size training windows (budget=512) it lands in. The global token
+    offset is a distributed weighted prefix sum — functions/pack.py
+    (histogram pass + broadcast bucket offsets + one co-partition); only
+    (doc_id, n_toks) ever moves."""
+    from ..functions.pack import pack_assign
+    from ..functions.textstats import TOKEN_PAT
+
+    def toks(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            pc.fill_null(b["text"], ""), pattern=TOKEN_PAT), pa.int64())
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "w": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        toks, batch_format="pyarrow")
+    return pack_assign(ds, "doc_id", "w", budget=512)
+
+
+SQL_SEQUENCE_PACK = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                              x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM d
+)
+SELECT doc_id, n_toks, start_tok, start_tok + n_toks AS end_tok,
+       start_tok // 512 AS first_pack,
+       CASE WHEN n_toks > 0 THEN (start_tok + n_toks - 1) // 512
+            ELSE start_tok // 512 END AS last_pack
+FROM c
+"""
+
+
 def q_quantity_quantiles(sf_dir):
     """Exact distributed discrete quantiles over a low-cardinality integer
     domain: per-batch value_counts partials collapse the fact table to
@@ -2543,6 +2585,7 @@ QUERIES = {
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
     "bm25_topk": (q_bm25_topk, None),

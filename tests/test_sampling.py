@@ -156,3 +156,50 @@ def test_global_positions_is_permutation_and_epoch_sensitive():
     out1b = {r["doc_id"]: r["pos"]
              for r in global_positions(repart, epoch=1).take_all()}
     assert out1b == {d: p for d, (p, _) in out1.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_prefix_sum_matches_naive_and_partitioning():
+    # weighted zipWithIndex: exclusive prefix sum in id order must equal the
+    # naive cumsum and be invariant to input partitioning; ids deliberately
+    # sparse/skewed so range buckets are uneven
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_processor_ray.functions.pack import global_prefix_sum
+
+    rng = np.random.RandomState(5)
+    ids = np.concatenate([np.arange(100), 10_000 + np.arange(50) * 97])
+    rng.shuffle(ids)
+    w = rng.randint(0, 40, size=len(ids)).astype(np.int64)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()), "w": pa.array(w)})
+    order = np.argsort(ids)
+    want_start = dict(zip(ids[order],
+                          np.concatenate([[0], np.cumsum(w[order])[:-1]])))
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        got = {r["id"]: r["start"]
+               for r in global_prefix_sum(ds, "id", "w", n_parts=5).take_all()}
+        assert got == want_start
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_assign_boundaries():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from document_processor_ray.functions.pack import pack_assign
+
+    # weights: 300, 0 (empty doc), 300, 1000 with budget 512
+    tbl = pa.table({"id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "w": pa.array([300, 0, 300, 1000], pa.int64())})
+    got = {r["id"]: r for r in
+           pack_assign(rd.from_arrow(tbl), "id", "w", budget=512).take_all()}
+    assert (got[0]["start_tok"], got[0]["end_tok"]) == (0, 300)
+    assert (got[0]["first_pack"], got[0]["last_pack"]) == (0, 0)
+    assert (got[1]["start_tok"], got[1]["end_tok"]) == (300, 300)
+    assert (got[1]["first_pack"], got[1]["last_pack"]) == (0, 0)
+    assert (got[2]["first_pack"], got[2]["last_pack"]) == (0, 1)  # 300..600
+    assert (got[3]["start_tok"], got[3]["end_tok"]) == (600, 1600)
+    assert (got[3]["first_pack"], got[3]["last_pack"]) == (1, 3)
