@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "quality_score", "lineitem_rollup", "pii_scrub", "jaccard_adjacent",
     # round 4 additions
     "dup_clusters", "epoch_shuffle", "embedding_centroids", "repetition_stats",
-    "kmeans_clusters",
+    "kmeans_clusters", "sequence_pack", "price_qty_corr", "orders_profile",
 ]
 
 

@@ -1091,6 +1091,65 @@ FROM s
 """
 
 
+def q_orders_profile(sf_dir):
+    """Data-quality table profiler — the validation stage every large-scale
+    ingest runs before training-data jobs: row/null counts per column, exact
+    numeric/date ranges, and the exact distinct count of a low-cardinality
+    column, all in ONE streamed pass of order-insensitive partials (per-batch
+    Arrow kernels -> a single global combine; the distinct set shuffles only
+    the <=5-value priority domain)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice",
+                               "o_orderdate", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        def nnull(c):
+            return b[c].null_count
+        tp = b["o_totalprice"]
+        od = b["o_orderdate"]
+        return pa.table({
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+            "null_custkey": pa.array([nnull("o_custkey")], pa.int64()),
+            "null_totalprice": pa.array([nnull("o_totalprice")], pa.int64()),
+            "null_priority": pa.array([nnull("o_orderpriority")], pa.int64()),
+            "min_price": pa.array([pc.min(tp).as_py()], pa.float64()),
+            "max_price": pa.array([pc.max(tp).as_py()], pa.float64()),
+            "min_date": pa.array([pc.min(od).as_py()], pa.timestamp("us")),
+            "max_date": pa.array([pc.max(od).as_py()], pa.timestamp("us")),
+        })
+
+    prof = (ds.map_batches(partial, batch_format="pyarrow")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("null_custkey", alias_name="null_custkey"),
+                       Sum("null_totalprice", alias_name="null_totalprice"),
+                       Sum("null_priority", alias_name="null_priority"),
+                       Min("min_price", alias_name="min_price"),
+                       Max("max_price", alias_name="max_price"),
+                       Min("min_date", alias_name="min_date"),
+                       Max("max_date", alias_name="max_date")))
+    n_prio = (ds.select_columns(["o_orderpriority"])
+              .groupby("o_orderpriority").aggregate(Count()).count())
+    out = {k: [v] for k, v in prof.items()}
+    out["distinct_priority"] = [int(n_prio)]
+    t = pa.table(out)
+    ints = [c for c in t.column_names if c.startswith(("n_", "null_", "distinct"))]
+    for c in ints:
+        t = t.set_column(t.column_names.index(c), c,
+                         pc.cast(pc.round(t[c]), pa.int64()))
+    return t
+
+
+SQL_ORDERS_PROFILE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey,
+       CAST(count(*) - count(o_totalprice) AS BIGINT) AS null_totalprice,
+       CAST(count(*) - count(o_orderpriority) AS BIGINT) AS null_priority,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS distinct_priority
+FROM orders
+"""
+
+
 def q_ship_window_agg(sf_dir):
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate"])
 
@@ -2615,6 +2674,7 @@ QUERIES = {
     "approx_distinct_users": (q_approx_distinct_users, None),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
+    "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
     "ship_window_agg": (q_ship_window_agg, SQL_SHIP_WINDOW_AGG),
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
