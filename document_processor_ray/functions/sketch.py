@@ -220,3 +220,91 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged.merge(HLL.from_bytes(row["sketch"], p))
     return int(round(merged.estimate()))
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (Misra & Gries '82): at most ``m``
+    counters; every stored count is a LOWER bound on the true frequency, and
+    ``self.err`` bounds the undercount of any key (stored or evicted), so
+    true_count(key) <= lower_bound(key) + err for every key in the stream.
+
+    Mergeable (Agarwal et al., "Mergeable Summaries", PODS'12): summing two
+    summaries' counters then decrementing all by the (m+1)-largest count and
+    dropping <=0 keeps the bound err = err_a + err_b + decrement. This is the
+    TOP-K member of the sketch trio here (HLL distinct / KLL quantiles /
+    MG heavy hitters) — the scale path when even (token, count) partials are
+    too wide for an exact groupby, e.g. open-vocabulary n-grams."""
+
+    def __init__(self, m: int):
+        self.m = m
+        self.counts: dict = {}
+        self.err = 0
+
+    def add_counts(self, keys, counts) -> None:
+        """Bulk-add exact (key, count) pairs (e.g. one batch's value_counts)."""
+        for k, c in zip(keys, counts):
+            self.counts[k] = self.counts.get(k, 0) + int(c)
+        self._trim()
+
+    def merge(self, other: "MisraGries") -> None:
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        self.err += other.err
+        self._trim()
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.m:
+            return
+        vals = np.sort(np.fromiter(self.counts.values(), dtype=np.int64))
+        dec = int(vals[-(self.m + 1)])  # (m+1)-largest count
+        self.counts = {k: c - dec for k, c in self.counts.items() if c > dec}
+        self.err += dec
+
+    def topk(self, k: int) -> list[tuple]:
+        """(key, lower_bound) for the k largest lower bounds; count desc, key
+        asc tie order. A key is a GUARANTEED top-k member when its lower bound
+        exceeds the (k+1)-th upper bound."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return items[:k]
+
+    def to_table(self) -> pa.Table:
+        keys = list(self.counts.keys())
+        return pa.table({
+            "key": pa.array([str(x) for x in keys], pa.string()),
+            "n_min": pa.array([self.counts[x] for x in keys], pa.int64()),
+            "err": pa.array([self.err] * len(keys), pa.int64())})
+
+
+def approx_topk(ds: rd.Dataset, col: str, k: int = 10,
+                m: int = 512) -> pa.Table:
+    """Distributed approximate top-k: per-batch exact value_counts fold into
+    an m-counter Misra-Gries summary (one summary per batch — the shuffle
+    payload is <= m (key, count) pairs per batch regardless of cardinality),
+    merged in a tiny driver reduce. Returns (key, n_min, err): n_min is a
+    per-key lower bound, n_min + err an upper bound; with m >> k and Zipfian
+    data the returned set equals the exact top-k (tested)."""
+    import pyarrow.compute as pc
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vc = pc.value_counts(v)
+        mg = MisraGries(m)
+        mg.add_counts(vc.field("values").to_pylist(),
+                      vc.field("counts").to_pylist())
+        t = mg.to_table()
+        return pa.table({"keys": pa.array([t["key"].to_pylist()]),
+                         "ns": pa.array([t["n_min"].to_pylist()]),
+                         "err": pa.array([mg.err], pa.int64())})
+
+    merged = MisraGries(m)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        part = MisraGries(m)
+        part.counts = dict(zip(row["keys"], (int(x) for x in row["ns"])))
+        part.err = int(row["err"])
+        merged.merge(part)
+    top = merged.topk(k)
+    return pa.table({"key": pa.array([str(x) for x, _ in top], pa.string()),
+                     "n_min": pa.array([c for _, c in top], pa.int64()),
+                     "err": pa.array([merged.err] * len(top), pa.int64())})

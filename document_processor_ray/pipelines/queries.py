@@ -312,6 +312,29 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def q_approx_token_topk(sf_dir):
+    """Approximate heavy hitters via a mergeable Misra-Gries summary — the
+    sketch-path companion to the exact `token_freq` (whose (token, count)
+    partials are fine for a bounded vocabulary but degenerate on open
+    vocabularies / n-gram spaces at 100 TB): each batch ships <= m counter
+    pairs regardless of cardinality. Rows-only; `tests/test_sketch_clusters`
+    proves the top-10 equals the exact top-10 here and the bounds bracket the
+    true counts."""
+    from ..functions.sketch import approx_topk
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        return pa.table({"tok": flat.filter(pc.not_equal(flat, ""))})
+
+    toks = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
+    return approx_topk(toks, "tok", k=10, m=512)
+
+
 def q_repetition_stats(sf_dir):
     """Gopher-style repetition quality signals (Rae et al. 2021,
     arXiv 2112.11446 §A.1.1): per-document duplicated-trigram counts and the
@@ -2645,6 +2668,7 @@ QUERIES = {
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "approx_token_topk": (q_approx_token_topk, None),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
     "bm25_topk": (q_bm25_topk, None),

@@ -253,3 +253,47 @@ def test_dup_clusters_query_matches_python_cc():
                 parent[hi] = lo
     want = {(n, find(n)) for n in nodes}
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_misra_gries_bounds_and_merge():
+    # lower bound <= true <= lower + err for every key, on adversarial merges
+    import numpy as np
+
+    from document_processor_ray.functions.sketch import MisraGries
+
+    rng = np.random.RandomState(0)
+    vals = rng.zipf(1.5, size=20000) % 200
+    true = {int(v): int(c) for v, c in
+            zip(*np.unique(vals, return_counts=True))}
+    parts = np.array_split(vals, 7)
+    merged = MisraGries(32)
+    for p in parts:
+        mg = MisraGries(32)
+        u, c = np.unique(p, return_counts=True)
+        mg.add_counts([int(x) for x in u], c)
+        merged.merge(mg)
+    for k, lb in merged.counts.items():
+        assert lb <= true[k] <= lb + merged.err
+    # every key whose true count exceeds err must still be present
+    for k, t in true.items():
+        if t > merged.err:
+            assert k in merged.counts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_topk_matches_exact_on_documents():
+    # with m >> k on this corpus the sketch top-10 equals the exact top-10
+    import pyarrow.compute as pc
+
+    from document_processor_ray.pipelines.queries import (q_approx_token_topk,
+                                                          q_token_freq)
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_token_freq(sf).to_pandas().sort_values(
+        ["n", "tok"], ascending=[False, True]).head(10)
+    got = q_approx_token_topk(sf).to_pandas()
+    assert list(got["key"]) == list(exact["tok"])
+    for _, r in got.iterrows():
+        true_n = int(exact.loc[exact["tok"] == r["key"], "n"].iloc[0])
+        assert r["n_min"] <= true_n <= r["n_min"] + r["err"]
