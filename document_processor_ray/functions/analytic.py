@@ -87,6 +87,17 @@ def peer_first_mask(st: pa.Table, first: np.ndarray,
     return fp
 
 
+def peer_first_mask_arrays(arrays: list[np.ndarray],
+                           first: np.ndarray) -> np.ndarray:
+    """peer_first_mask over computed ORDER BY expressions (plain arrays)
+    instead of table columns."""
+    fp = first.copy()
+    for v in arrays:
+        if len(v):
+            fp[1:] |= v[1:] != v[:-1]
+    return fp
+
+
 def running_sum_range(values: np.ndarray, seg_start: np.ndarray,
                       first_peer: np.ndarray) -> np.ndarray:
     """SUM(values) OVER (PARTITION ... ORDER BY ...) with the ANSI-default
@@ -100,6 +111,36 @@ def running_sum_range(values: np.ndarray, seg_start: np.ndarray,
     peer_id = np.cumsum(first_peer) - 1
     last_of_peer = np.append(first_peer[1:], True)
     return rows_cum[np.flatnonzero(last_of_peer)][peer_id]
+
+
+def seg_length(first: np.ndarray) -> np.ndarray:
+    """Per-row length of the row's window partition (int64)."""
+    n = len(first)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    starts = np.flatnonzero(first)
+    lengths = np.diff(np.append(starts, n))
+    return lengths[np.cumsum(first) - 1]
+
+
+def ntile(n_tiles: int, first: np.ndarray,
+          seg_start: np.ndarray) -> np.ndarray:
+    """1-based NTILE(n): ANSI semantics — the first ``cnt % n`` tiles get
+    ``cnt // n + 1`` rows, the rest ``cnt // n`` (vectorized per row from the
+    0-based row number and the partition length)."""
+    rn0 = np.arange(len(first), dtype=np.int64) - seg_start
+    cnt = seg_length(first)
+    q, r = cnt // n_tiles, cnt % n_tiles
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    return np.where(rn0 < big, rn0 // np.maximum(q + 1, 1),
+                    r + (rn0 - big) // np.maximum(q, 1)) + 1
+
+
+def dense_rank(first_peer: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
+    """1-based DENSE_RANK(): cumulative peer-group count re-based at each
+    partition start (``first_peer`` from ``peer_first_mask``)."""
+    c = np.cumsum(first_peer)
+    return (c - c[seg_start] + 1).astype(np.int64)
 
 
 def windowed(ds: rd.Dataset, part_col: str, order_cols: list[str], make_cols,

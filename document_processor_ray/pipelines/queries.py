@@ -1899,6 +1899,37 @@ FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_order_ntile(sf_dir):
+    """NTILE(4) price quartiles + DENSE_RANK over 1000-unit price bands,
+    per order-priority class — the remaining ANSI window functions on the
+    segment-vectorized analytic kernels. Skew note: PARTITION BY a
+    5-value key means at most 5-way parallelism for the window itself in ANY
+    engine; the coarse-bucket shuffle stays one exchange regardless."""
+    from ..functions import analytic as an
+
+    def mk(st, first, seg_start):
+        band = (st["o_totalprice"].combine_chunks().to_numpy()
+                / 1000.0).astype(np.int64)
+        fp = an.peer_first_mask_arrays([band], first)
+        return {"tile": pa.array(an.ntile(4, first, seg_start)),
+                "price_band_rank": pa.array(an.dense_rank(fp, seg_start))}
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return an.windowed(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"],
+                       mk, n_parts=8).drop_columns(["o_totalprice"])
+
+
+SQL_ORDER_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS tile,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT))
+           AS price_band_rank
+FROM orders
+"""
+
+
 def q_lineitem_running_qty(sf_dir):
     """Running SUM with the ANSI-default RANGE frame: (l_orderkey,
     l_linenumber) is NOT unique in this data, so ORDER BY ties are peers and
@@ -2708,6 +2739,7 @@ QUERIES = {
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
     "p90_price_by_segment": (q_p90_price_by_segment, SQL_P90_PRICE_BY_SEGMENT),
     "order_rank_delta": (q_order_rank_delta, SQL_ORDER_RANK_DELTA),
+    "order_ntile": (q_order_ntile, SQL_ORDER_NTILE),
     "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),

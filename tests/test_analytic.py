@@ -132,3 +132,27 @@ def test_overlap_batch_counts():
     assert out["n_grams"].to_pylist() == [3, 2]
     assert out["n_overlap"].to_pylist() == [1, 0]
     assert out["contaminated"].to_pylist() == [1, 0]
+
+
+def test_ntile_and_dense_rank_kernels():
+    # NTILE: 10 rows in 4 tiles -> sizes 3,3,2,2; tiny partitions (cnt < n);
+    # DENSE_RANK over tied bands
+    import numpy as np
+
+    from document_processor_ray.functions import analytic as an
+
+    # one partition of 10 rows, one of 2, one of 1
+    first = np.zeros(13, bool)
+    first[[0, 10, 12]] = True
+    idx = np.arange(13)
+    seg_start = np.maximum.accumulate(np.where(first, idx, 0))
+    tiles = an.ntile(4, first, seg_start)
+    assert tiles[:10].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert tiles[10:12].tolist() == [1, 2]
+    assert tiles[12:].tolist() == [1]
+    bands = np.array([5, 5, 6, 6, 6, 7, 8, 8, 9, 9, 1, 1, 3])
+    fp = an.peer_first_mask_arrays([bands], first)
+    dr = an.dense_rank(fp, seg_start)
+    assert dr[:10].tolist() == [1, 1, 2, 2, 2, 3, 4, 4, 5, 5]
+    assert dr[10:12].tolist() == [1, 1]
+    assert dr[12:].tolist() == [1]
