@@ -2044,6 +2044,70 @@ GROUP BY g.doc_id
 """
 
 
+def q_cross_doc_grams(sf_dir):
+    """Cross-document duplicated-substring scoring — the per-doc signal of
+    substring-level dedup (Lee et al. 2021, arXiv 2107.06499: repeated long
+    n-grams across documents mark boilerplate/templated spans worth cutting):
+    for every doc, its count of DISTINCT 8-grams and how many of those also
+    occur in at least one OTHER doc.
+
+    Scale shape: per-batch vectorized gram expansion (decontam's C-level
+    kernel) -> distinct (gram, doc) pairs; document frequency is computed
+    WITHOUT broadcasting the gram vocabulary — one co-partition on gram makes
+    partition-local pair counts the global df (the tfidf_top_term trick), a
+    df>=2 flag rides back on each pair, and a bounded groupby(doc) sums flags.
+    Two exchanges total, both carrying (gram, doc_id) pairs, never text. At
+    100 TB the gram strings would ride as u64 hashes (functions/dedup.py's
+    gram kernel) at a negligible collision risk; strings are kept here for
+    exact cross-engine parity."""
+    from ..core.groupops import grouped_reduce
+    from ..functions.decontam import doc_grams
+
+    def pairs(b: pa.Table) -> pa.Table:
+        grams, parent = doc_grams(b["text"], n=8)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"gram": grams,
+                      "doc_id": pa.array(ids[parent], pa.int64())})
+        # distinct within doc (and batch) before the exchange
+        return t.group_by(["doc_id", "gram"]).aggregate([])
+
+    def df_flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("gram")["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "shared": (n >= 2).astype("int64")})
+
+    pair_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow")
+    flagged = grouped_reduce(pair_ds, ["gram"], df_flag)
+    return _cast_int64(
+        flagged.groupby("doc_id").aggregate(
+            Count(alias_name="n_distinct_grams"),
+            Sum("shared", alias_name="n_shared_grams")),
+        ["n_distinct_grams", "n_shared_grams"])
+
+
+SQL_CROSS_DOC_GRAMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in generate_series(1, greatest(len(t)-7, 0))]) AS gram
+  FROM toks),
+df AS (
+  SELECT gram, count(*) AS df FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_grams
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_norm_text(sf_dir):
     """Text normalization (lowercase -> NFC -> whitespace-run collapse ->
     space trim), hash-checked on the normalized STRINGS themselves. All Arrow
@@ -2750,6 +2814,7 @@ QUERIES = {
     "regional_volume": (q_regional_volume, SQL_REGIONAL_VOLUME),
     "benchmark_overlap": (q_benchmark_overlap, SQL_BENCHMARK_OVERLAP),
     "norm_text": (q_norm_text, SQL_NORM_TEXT),
+    "cross_doc_grams": (q_cross_doc_grams, SQL_CROSS_DOC_GRAMS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
