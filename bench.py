@@ -230,7 +230,11 @@ def run_bench() -> dict:
     import threading
 
     headline, parse_ms_per_doc = None, None
-    for attempt in range(2):
+    # GRAFT_BENCH_ATTEMPTS=1 shortens a --scaling level to fit inside a quiet
+    # window between external host-load waves (applied to BOTH levels, so the
+    # ratio stays symmetric; a single attempt can only be slower-or-equal than
+    # best-of-2 at each level). Default stays best-of-2.
+    for attempt in range(int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "2"))):
         if attempt > 0:
             # fresh Ray session per attempt: executions within one session drift
             # slower (object-store state accumulation), measured +10-15% on the
