@@ -381,6 +381,20 @@ def run_scaling() -> dict:
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
         os.sync()
         time.sleep(30)  # let the previous session's writeback/workers settle
+        if gate:
+            # POST-level probe: a load wave that onsets AFTER the quiet
+            # preflight but DURING the level's timing window (measured
+            # 2026-08-18: in-situ probe 1.472x with a <=1.10 preflight
+            # minutes earlier) corrupts the level without tripping the
+            # preflight. Like the preflight, the decision is mechanical and
+            # independent of the measured ratio: noisy post-probe -> abort
+            # the whole measurement without recording.
+            slow = machine_parallel_slowdown(6, 24, n=30000)
+            if slow > gate:
+                print(json.dumps({"metric": "scaling_aborted_postlevel",
+                                  "level_cpus": ncpu, "probe": round(slow, 3),
+                                  "gate": gate}), file=sys.stderr)
+                raise SystemExit(3)
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     p_lo, p_hi = results[lo].get("parse_ms_per_doc"), results[hi].get("parse_ms_per_doc")
