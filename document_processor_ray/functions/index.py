@@ -210,7 +210,8 @@ def search_index(index_dir: str, terms: list[str],
 
 
 def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
-                top_k: int = 10, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+                top_k: int = 10, k1: float = 1.2, b: float = 0.75,
+                integer_scores: bool = False) -> pa.Table:
     """Disjunctive BM25 ranked retrieval over the same partition-pruned index
     (Robertson/Spärck Jones BM25, the Lucene `k1`/`b` parameterization).
 
@@ -222,7 +223,14 @@ def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
     ``groupby(doc_id)`` over the union of the query terms' postings only, and
     the final top-k is a sort-limit over that bounded candidate set. Scores
     are rounded to 9 dp after summation so ranking is stable across summation
-    orders (≤k doubles per doc differ by ≤1 ulp between runs)."""
+    orders (≤k doubles per doc differ by ≤1 ulp between runs).
+
+    ``integer_scores=True`` quantizes each per-(term, doc) contribution to
+    nano-units (``floor(s * 1e9 + 0.5)`` as int64) BEFORE the distributed sum,
+    so the per-doc score is an order-free integer sum — bit-stable across
+    runs, partitionings, and engines. Output columns become
+    ``(doc_id, score_e9: int64, rank)``; this is the cross-engine-checkable
+    surface (the SQL oracle mirrors the same quantization)."""
     import glob as _glob
     import json as _json
 
@@ -232,12 +240,14 @@ def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = _json.load(f)
     n_docs, avgdl = meta["n_docs"], meta["avgdl"] or 1.0
+    score_col = "score_e9" if integer_scores else "score"
+    score_type = pa.int64() if integer_scores else pa.float64()
     parts = sorted(set(term_partitions(terms, n_parts).values()))
     paths = [f for p in parts
              for f in sorted(_glob.glob(
                  os.path.join(index_dir, f"part={p}", "*.parquet")))]
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64()),
+                      score_col: pa.array([], score_type),
                       "rank": pa.array([], pa.int64())})
     if not paths:
         return empty
@@ -247,7 +257,7 @@ def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
         bt = bt.filter(pc.is_in(bt["tok"], value_set=term_set))
         if bt.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
+                             score_col: pa.array([], score_type)})
 
         def _flat(col):
             v = pc.list_flatten(bt[col])
@@ -263,32 +273,40 @@ def bm25_search(index_dir: str, terms: list[str], n_parts: int = 64,
             bt["df"].to_numpy(zero_copy_only=False).astype(np.float64), lens)
         idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
         s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        return pa.table({"doc_id": pa.array(doc), "score": pa.array(s)})
+        if integer_scores:
+            # quantize the per-(term, doc) contribution, NOT the sum: integer
+            # addition is order-free, so the per-doc total is identical under
+            # any partitioning / summation order and any engine that mirrors
+            # this quantization (floor(x*1e9 + 0.5) — half-away, matching SQL
+            # round semantics for the positive scores BM25 produces)
+            s = np.floor(s * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc), score_col: pa.array(s)})
 
     from ray.data.aggregate import Sum
 
     def round_scores(bt: pa.Table) -> pa.Table:
         # round BEFORE the distributed sort+limit: the top-k cut itself must
         # run on the tie-stabilized key, or a 1-ulp cross-run difference at
-        # the boundary could admit a different doc into the top-k
-        if "score" not in bt.column_names:
+        # the boundary could admit a different doc into the top-k (integer
+        # mode needs no stabilization — the sum is exact)
+        if integer_scores or score_col not in bt.column_names:
             return bt  # Ray empty-aggregate schema drop (see search_index NOTE)
-        return bt.set_column(bt.schema.get_field_index("score"), "score",
-                             pc.round(bt["score"], ndigits=9))
+        return bt.set_column(bt.schema.get_field_index(score_col), score_col,
+                             pc.round(bt[score_col], ndigits=9))
 
     ranked = (rd.read_parquet(paths, columns=["tok", "df", "postings",
                                               "tfs", "dls"])
               .map_batches(score, batch_format="pyarrow")
-              .groupby("doc_id").aggregate(Sum("score", alias_name="score"))
+              .groupby("doc_id").aggregate(Sum(score_col, alias_name=score_col))
               .map_batches(round_scores, batch_format="pyarrow")
-              .sort(["score", "doc_id"], descending=[True, False])
+              .sort([score_col, "doc_id"], descending=[True, False])
               .limit(top_k))
     t = pa.Table.from_pandas(ranked.to_pandas(), preserve_index=False)
     if t.num_rows == 0:
         return empty  # Ray empty-aggregate schema drop (see search_index NOTE)
-    order = pc.sort_indices(pa.table({"s": t["score"], "d": t["doc_id"]}),
+    order = pc.sort_indices(pa.table({"s": t[score_col], "d": t["doc_id"]}),
                             sort_keys=[("s", "descending"), ("d", "ascending")])
     return pa.table({
         "doc_id": pc.cast(t["doc_id"].take(order), pa.int64()),
-        "score": pc.cast(t["score"].take(order), pa.float64()),
+        score_col: pc.cast(t[score_col].take(order), score_type),
         "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64))})

@@ -596,13 +596,54 @@ def _ensure_index(sf_dir) -> str:
 def q_bm25_topk(sf_dir):
     """BM25 ranked retrieval (top-10) over the persisted index: pruned
     partition read, join-free scoring off the denormalized per-posting
-    (tf, dl), tiny candidate-set groupby + sort-limit. Rows-only driver check;
-    semantics pinned by ``tests/test_index.py::test_bm25_matches_oracle``
-    against an independent BM25 implementation."""
+    (tf, dl), tiny candidate-set groupby + sort-limit. SQL-hash-checked via
+    ``integer_scores``: each per-(term, doc) contribution is quantized to
+    nano-units before the distributed sum, so the per-doc score is an exact
+    order-free int64 that the DuckDB full-scan BM25 mirror reproduces
+    bit-for-bit (float semantics stay pinned by
+    ``tests/test_index.py::test_bm25_matches_oracle``)."""
     from ..functions.index import bm25_search
 
     return bm25_search(_ensure_index(sf_dir), ["spark", "window", "stream"],
-                       top_k=10)
+                       top_k=10, integer_scores=True)
+
+
+# Mirrors bm25_search's arithmetic ORDER exactly (all constants e-notation so
+# DuckDB parses them as DOUBLE, not DECIMAL): idf = ln(((N - df) + 0.5)/(df +
+# 0.5) + 1.0); s = ((idf*tf)*(1.2+1.0)) / (tf + 1.2*((1.0-0.75) +
+# ((0.75*dl)/avgdl))); avgdl = n_tokens/n_docs as one double division. The
+# quantization floor(s*1e9 + 0.5) matches np.floor half-away on the positive
+# scores, making sum(c) an exact integer on both engines.
+SQL_BM25_TOPK = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl
+  FROM tl WHERE len(toks) > 0),
+stats AS (
+  SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens FROM tok),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl FROM tok
+  WHERE tok IN ('spark', 'window', 'stream') GROUP BY doc_id, tok),
+df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT f.doc_id,
+         CAST(floor(
+           ((ln((((s.n_docs - d.df) + 0.5e0) / (d.df + 0.5e0)) + 1.0e0)
+             * f.tf) * (1.2e0 + 1.0e0))
+           / (f.tf + (1.2e0 * ((1.0e0 - 0.75e0)
+              + ((0.75e0 * f.dl) / (CAST(s.n_tokens AS DOUBLE) / s.n_docs)))))
+           * 1.0e9 + 0.5e0) AS BIGINT) AS c
+  FROM tf f JOIN df d ON f.tok = d.tok CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_e9 FROM contrib GROUP BY doc_id)
+SELECT doc_id, score_e9,
+       CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY score_e9 DESC, doc_id LIMIT 10
+"""
 
 
 def q_term_search(sf_dir):
@@ -1995,6 +2036,44 @@ GROUP BY n_name
 """
 
 
+def q_bloom_semi_orders(sf_dir):
+    """Exact semi-join via broadcast Bloom prefilter + co-partitioned verify
+    (``functions/bloom.py``): orders placed by BUILDING-segment customers,
+    aggregated per order priority. The Bloom bitmap (128 KB for 1M bits) is
+    built in one pass over the filtered customer keys and broadcast via
+    ray.put; the fact-side probe drops ~all non-matching orders BEFORE the
+    one co-partitioned exchange, so the shuffle carries matches + ~fp_rate of
+    the rest instead of the whole orders table. Result is exact (the verify
+    phase removes Bloom false positives) — the DuckDB mirror is the plain
+    IN-subquery semi-join."""
+    from ..functions.bloom import bloom_semi_join
+
+    def building(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"])
+
+    keys = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        building, batch_format="pyarrow")
+    fact = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority"])
+    hits = bloom_semi_join(fact, "o_custkey", keys, "c_custkey")
+    return _cast_int64(
+        hits.groupby("o_orderpriority").aggregate(
+            Count(alias_name="n_orders"),
+            Min("o_orderkey", alias_name="min_orderkey"),
+            Max("o_orderkey", alias_name="max_orderkey")),
+        ["min_orderkey", "max_orderkey"])
+
+
+SQL_BLOOM_SEMI_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Decontamination + normalization (LLM-pipeline ops, SQL-checked)
 # ---------------------------------------------------------------------------
@@ -2766,7 +2845,7 @@ QUERIES = {
     "approx_token_topk": (q_approx_token_topk, None),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
-    "bm25_topk": (q_bm25_topk, None),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
@@ -2806,6 +2885,7 @@ QUERIES = {
     "order_ntile": (q_order_ntile, SQL_ORDER_NTILE),
     "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
