@@ -312,6 +312,145 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+def q_pmi_bigrams(sf_dir):
+    """Top-20 collocations by pointwise mutual information: pmi(a,b) =
+    ln( p(ab) / (p(a)·p(b)) ) over the corpus uni/bigram distributions, with
+    a min-count-5 support floor. ONE tokenize pass emits both unigram and
+    bigram count partials as prefix-tagged keys (``u:tok`` / ``b:a b``), so a
+    single vocabulary-scale shuffle aggregates both layers; the bigram side
+    then picks up c(a) and c(b) via two co-partitioned ``lookup_join``s (the
+    vocabulary is never broadcast or collected). PMI is quantized to
+    nano-units from a fixed IEEE expression (the bm25 pattern), so the DuckDB
+    mirror reproduces it bit-for-bit."""
+    from ..core.groupops import lookup_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        par = _arr(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        out_keys, out_n = [], []
+        if len(flat):
+            vc = pc.value_counts(pc.binary_join_element_wise(
+                pa.array(["u:"] * len(flat)), flat, ""))
+            out_keys.append(vc.field("values"))
+            out_n.append(pc.cast(vc.field("counts"), pa.int64()))
+        if len(flat) >= 2:
+            p = par.to_numpy(zero_copy_only=False)
+            same = pa.array(p[:-1] == p[1:])
+            left = flat.slice(0, len(flat) - 1).filter(same)
+            right = flat.slice(1).filter(same)
+            if len(left):
+                # NB: binary_join_element_wise treats its LAST arg as the
+                # separator for ALL parts — join the body first, then glue
+                # the prefix with an empty separator
+                body = pc.binary_join_element_wise(left, right, " ")
+                big = pc.binary_join_element_wise(
+                    pa.array(["b:"] * len(left)), body, "")
+                vcb = pc.value_counts(big)
+                out_keys.append(vcb.field("values"))
+                out_n.append(pc.cast(vcb.field("counts"), pa.int64()))
+        if not out_keys:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"key": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_keys]), "n": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_n])})
+
+    counted = _cast_int64(
+        (_docs(sf_dir, ["text"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("key").aggregate(Sum("n", alias_name="n"))),
+        ["n"]).materialize()
+
+    def totals(b: pa.Table) -> pa.Table:
+        is_u = pc.starts_with(b["key"], "u:")
+        nu = pc.sum(pc.if_else(is_u, b["n"], pa.scalar(0, pa.int64()))).as_py() or 0
+        nb = pc.sum(pc.if_else(is_u, pa.scalar(0, pa.int64()), b["n"])).as_py() or 0
+        return pa.table({"nu": pa.array([nu], pa.int64()),
+                         "nb": pa.array([nb], pa.int64())})
+
+    tot = counted.map_batches(totals, batch_format="pyarrow").take_all()
+    n_uni = sum(r["nu"] for r in tot)
+    n_bi = sum(r["nb"] for r in tot)
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.starts_with(b["key"], "u:"))
+        return pa.table({"gram": pc.utf8_slice_codeunits(b["key"], 2),
+                         "c": b["n"]})
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.starts_with(b["key"], "b:"),
+                             pc.greater_equal(b["n"], 5)))
+        if b.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c_ab": pa.array([], pa.int64())})
+        body = pc.utf8_slice_codeunits(b["key"], 2)
+        parts = pc.split_pattern(body, pattern=" ")
+        flat = _arr(pc.list_flatten(parts))
+        ev = pa.array(np.arange(0, 2 * b.num_rows, 2, dtype=np.int64))
+        od = pa.array(np.arange(1, 2 * b.num_rows, 2, dtype=np.int64))
+        return pa.table({"bigram": body, "a": flat.take(ev),
+                         "b": flat.take(od), "c_ab": b["n"]})
+
+    uni = counted.map_batches(unigrams, batch_format="pyarrow")
+    big = counted.map_batches(bigrams, batch_format="pyarrow")
+    big = lookup_join(big, uni, "a", "gram", "c", out_col="c_a")
+    big = lookup_join(big, uni, "b", "gram", "c", out_col="c_b")
+
+    def pmi(b: pa.Table) -> pa.Table:
+        cab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = b["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = b["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # fixed IEEE op order, mirrored token-for-token in SQL_PMI_BIGRAMS
+        val = np.log((cab / n_bi) / ((ca / n_uni) * (cb / n_uni)))
+        e9 = np.floor(val * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"bigram": b["bigram"], "c_ab": b["c_ab"],
+                         "pmi_e9": pa.array(e9)})
+
+    return (big.map_batches(pmi, batch_format="pyarrow")
+            .sort(["pmi_e9", "bigram"], descending=[True, False]).limit(20))
+
+
+SQL_PMI_BIGRAMS = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS tokens
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(tokens) AS tok, unnest(range(len(tokens))) AS pos FROM tl
+), uni AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), nuni AS (SELECT count(*) AS n FROM toks
+), pairs AS (
+  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM toks
+), bigc AS (
+  SELECT tok AS a, nxt AS b, count(*) AS c_ab FROM pairs
+  WHERE nxt IS NOT NULL GROUP BY tok, nxt
+), nbig AS (SELECT count(*) AS n FROM pairs WHERE nxt IS NOT NULL)
+SELECT g.a || ' ' || g.b AS bigram, g.c_ab,
+       CAST(floor(
+         ln((CAST(g.c_ab AS DOUBLE) / nb.n)
+            / ((CAST(ua.c AS DOUBLE) / nu.n) * (CAST(ub.c AS DOUBLE) / nu.n)))
+         * 1.0e9 + 0.5e0) AS BIGINT) AS pmi_e9
+FROM bigc g
+JOIN uni ua ON g.a = ua.tok
+JOIN uni ub ON g.b = ub.tok
+CROSS JOIN nuni nu CROSS JOIN nbig nb
+WHERE g.c_ab >= 5
+ORDER BY pmi_e9 DESC, bigram ASC LIMIT 20
+"""
+
+
 def q_approx_token_topk(sf_dir):
     """Approximate heavy hitters via a mergeable Misra-Gries summary — the
     sketch-path companion to the exact `token_freq` (whose (token, count)
@@ -2840,6 +2979,7 @@ QUERIES = {
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "approx_token_topk": (q_approx_token_topk, None),
