@@ -53,20 +53,28 @@ def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
 
 def lookup_join(ds: rd.Dataset, kv: rd.Dataset, key_col: str, kv_key: str,
                 kv_val: str, out_col: str | None = None,
-                n_parts: int = 64) -> rd.Dataset:
+                n_parts: int = 64, schema: pa.Schema | None = None,
+                kv_schema: pa.Schema | None = None) -> rd.Dataset:
     """Distributed inner lookup join: append ``kv``'s value column to every row
     of ``ds`` whose key matches (rows without a match are dropped). Both sides
     co-partition on the key via ONE coarse shuffle (tagged union); the
     per-partition probe is Arrow-native ``pc.index_in`` + ``take``, so payload
     columns of any type (binary, lists) survive without a pandas round-trip.
-    ``kv`` keys must be unique (first match wins otherwise)."""
+    ``kv`` keys must be unique (first match wins otherwise).
+
+    Pass ``schema``/``kv_schema`` when known: probing them from the Dataset
+    executes enough of the upstream plan to produce one block, which for an
+    input with an all-to-all upstream (e.g. the output of a previous
+    lookup_join) means running that whole shuffle a second time."""
     import pyarrow.compute as pc
 
     out_col = out_col or kv_val
-    sch = ds.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    sch = schema if schema is not None else ds.map_batches(
+        lambda t: t, batch_format="pyarrow").schema()
     names = list(sch.names)
     types = dict(zip(sch.names, sch.types))
-    kv_sch = kv.map_batches(lambda t: t, batch_format="pyarrow").schema()
+    kv_sch = kv_schema if kv_schema is not None else kv.map_batches(
+        lambda t: t, batch_format="pyarrow").schema()
     val_type = dict(zip(kv_sch.names, kv_sch.types))[kv_val]
     SRC, JKEY, VAL = "__src", "__jkey", "__val"
 

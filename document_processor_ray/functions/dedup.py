@@ -793,12 +793,21 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
 
     # two co-partitioned Arrow-native lookup joins pick up each side's gram
     # set; original id dtypes pass through untouched (the join key is
-    # string-cast only inside lookup_join — no sortable-string round-trip)
+    # string-cast only inside lookup_join — no sortable-string round-trip).
+    # Schemas are passed explicitly: letting the second join probe its input
+    # schema would re-execute the first join's whole shuffle for one block.
+    grams_schema = grams.schema()
+    gs = pa.schema(list(zip(grams_schema.names, grams_schema.types)))
+    id_type = dict(zip(gs.names, gs.types))["gid"]
+    pairs_ab = pa.schema([("a", id_type), ("b", id_type)])
     with_a = lookup_join(pairs.select_columns(["a", "b"]), grams,
                          key_col="a", kv_key="gid", kv_val="grams",
-                         out_col="grams_a")
+                         out_col="grams_a", schema=pairs_ab, kv_schema=gs)
     with_ab = lookup_join(with_a, grams, key_col="b", kv_key="gid",
-                          kv_val="grams", out_col="grams_b")
+                          kv_val="grams", out_col="grams_b",
+                          schema=pairs_ab.append(pa.field("grams_a",
+                                                          pa.binary())),
+                          kv_schema=gs)
 
     def score(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2

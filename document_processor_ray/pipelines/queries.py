@@ -404,8 +404,16 @@ def q_pmi_bigrams(sf_dir):
 
     uni = counted.map_batches(unigrams, batch_format="pyarrow")
     big = counted.map_batches(bigrams, batch_format="pyarrow")
-    big = lookup_join(big, uni, "a", "gram", "c", out_col="c_a")
-    big = lookup_join(big, uni, "b", "gram", "c", out_col="c_b")
+    # explicit schemas: letting lookup_join probe them would re-execute the
+    # first join's whole shuffle just to see one block of the second's input
+    big_schema = pa.schema([("bigram", pa.string()), ("a", pa.string()),
+                            ("b", pa.string()), ("c_ab", pa.int64())])
+    uni_schema = pa.schema([("gram", pa.string()), ("c", pa.int64())])
+    big = lookup_join(big, uni, "a", "gram", "c", out_col="c_a",
+                      schema=big_schema, kv_schema=uni_schema)
+    big = lookup_join(big, uni, "b", "gram", "c", out_col="c_b",
+                      schema=big_schema.append(pa.field("c_a", pa.int64())),
+                      kv_schema=uni_schema)
 
     def pmi(b: pa.Table) -> pa.Table:
         cab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
