@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     # round 4 additions
     "dup_clusters", "epoch_shuffle", "embedding_centroids", "repetition_stats",
     "kmeans_clusters", "sequence_pack", "price_qty_corr", "orders_profile",
-    "bloom_semi_orders", "pmi_bigrams",
+    "bloom_semi_orders", "pmi_bigrams", "customer_order_nations_join",
 ]
 
 

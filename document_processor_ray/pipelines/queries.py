@@ -1449,10 +1449,81 @@ GROUP BY n_name
 
 
 def q_customer_order_nations(sf_dir):
+    """Two-big-sides join (orders ⋈ customer) + per-nation aggregate on the
+    fused grouped_reduce co-partition shape (the q_regional_volume stage-B
+    pattern): per-batch order partials pre-aggregate by custkey BEFORE the
+    exchange, both sides co-partition via one tagged-union shuffle, and the
+    partition fn finishes the per-custkey reduction, probes c_nationkey, and
+    pre-collapses to ≤25 per-nation partial rows — so the final groupby
+    touches ~n_parts×25 rows. One coarse all-to-all instead of Dataset.join's
+    operator machinery. Settled at sf0.1 the two are at parity (~4 s each,
+    measured round 4; the round-3 19.7 s Dataset.join artifact was
+    session-state accumulation, fixed by bench session recycling) — the fused
+    shape's win is scale: the orders side collapses to per-custkey partials
+    BEFORE the exchange, so the shuffle carries ≤n_customers rows instead of
+    every order. The raw Dataset.join path lives on as
+    q_customer_order_nations_join (same SQL oracle) for engine-parity
+    coverage."""
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"k": pc.cast(b["o_custkey"], pa.int64()),
+                       "p": b["o_totalprice"]})
+             .group_by("k")
+             .aggregate([("p", "count"), ("p", "max"), ("p", "min")]))
+        n = len(g)
+        return pa.table({"k": g["k"],
+                         "n": pc.cast(g["p_count"], pa.int64()),
+                         "maxp": g["p_max"], "minp": g["p_min"],
+                         "nat": pa.nulls(n, pa.int64()),
+                         "src": pa.array(["l"] * n)})
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"k": pc.cast(b["c_custkey"], pa.int64()),
+                         "n": pa.nulls(n, pa.int64()),
+                         "maxp": pa.nulls(n, pa.float64()),
+                         "minp": pa.nulls(n, pa.float64()),
+                         "nat": pc.cast(b["c_nationkey"], pa.int64()),
+                         "src": pa.array(["r"] * n)})
+
+    from ..core.groupops import grouped_reduce
+
+    tagged = (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .map_batches(order_partial, batch_format="pyarrow")
+              .union(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                     .map_batches(tag_cust, batch_format="pyarrow")))
+
+    def reduce_probe_nation(t: pa.Table) -> pa.Table:
+        left = t.filter(pc.equal(t["src"], "l"))
+        right = t.filter(pc.equal(t["src"], "r"))
+        g = (left.select(["k", "n", "maxp", "minp"]).group_by("k")
+             .aggregate([("n", "sum"), ("maxp", "max"), ("minp", "min")]))
+        idx = pc.index_in(g["k"], value_set=right["k"].combine_chunks())
+        nat = right["nat"].combine_chunks().take(idx)
+        keep = pa.table({"nat": nat, "n": g["n_sum"], "maxp": g["maxp_max"],
+                         "minp": g["minp_min"]}).filter(pc.is_valid(nat))
+        pg = keep.group_by("nat").aggregate(
+            [("n", "sum"), ("maxp", "max"), ("minp", "min")])
+        return pa.table({"c_nationkey": pg["nat"], "n": pg["n_sum"],
+                         "maxp": pg["maxp_max"], "minp": pg["minp_min"]})
+
+    return _cast_int64(
+        grouped_reduce(tagged, ["k"], reduce_probe_nation,
+                       batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Max("maxp", alias_name="max_price"),
+                   Min("minp", alias_name="min_price")),
+        ["n_orders"])
+
+
+def q_customer_order_nations_join(sf_dir):
     """Distributed hash join with two genuinely large sides (orders ⋈ customer,
-    both scale with the corpus) via Dataset.join — the shuffle-join path. The
-    partition count scales with the cluster instead of being hardcoded; both
-    sides are dense in the key domain, so no hash partition is empty."""
+    both scale with the corpus) via Dataset.join — the engine's raw
+    shuffle-join path (kept hash-checked alongside the fused co-partition
+    re-expression above). The partition count scales with the cluster instead
+    of being hardcoded; both sides are dense in the key domain, so no hash
+    partition is empty."""
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
@@ -3025,6 +3096,8 @@ QUERIES = {
     "orders_by_segment": (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT),
     "nation_region_counts": (q_nation_region_counts, SQL_NATION_REGION_COUNTS),
     "customer_order_nations": (q_customer_order_nations, SQL_CUSTOMER_ORDER_NATIONS),
+    "customer_order_nations_join": (q_customer_order_nations_join,
+                                    SQL_CUSTOMER_ORDER_NATIONS),
     "events_before_order": (q_events_before_order, SQL_EVENTS_BEFORE_ORDER),
     "event_last_order": (q_event_last_order, SQL_EVENT_LAST_ORDER),
     "median_price_by_segment": (q_median_price_by_segment, SQL_MEDIAN_PRICE_BY_SEGMENT),
