@@ -143,6 +143,41 @@ def dense_rank(first_peer: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
     return (c - c[seg_start] + 1).astype(np.int64)
 
 
+def rank(first_peer: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
+    """1-based RANK() (gaps on ties): every row takes the row number of its
+    peer group's FIRST row — the peer-start index re-based at the partition
+    start, fully vectorized."""
+    n = len(first_peer)
+    idx = np.arange(n, dtype=np.int64)
+    peer_start = np.maximum.accumulate(np.where(first_peer, idx, 0))
+    return peer_start - seg_start + 1
+
+
+def percent_rank(first_peer: np.ndarray, first: np.ndarray,
+                 seg_start: np.ndarray) -> np.ndarray:
+    """PERCENT_RANK() = (rank - 1) / (partition rows - 1), 0.0 for 1-row
+    partitions (ANSI). Exact IEEE division of two small int64s — bit-identical
+    to any engine computing the same expression, so hash-checkable."""
+    r = rank(first_peer, seg_start)
+    cnt = seg_length(first)
+    return np.where(cnt > 1, (r - 1) / np.maximum(cnt - 1, 1), 0.0)
+
+
+def cume_dist(first_peer: np.ndarray, first: np.ndarray,
+              seg_start: np.ndarray) -> np.ndarray:
+    """CUME_DIST() = (rows up through the END of the row's peer group) /
+    (partition rows): peer-group last-row index via the shifted peer mask,
+    same single-pass shape as ``running_sum_range``."""
+    n = len(first_peer)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    idx = np.arange(n, dtype=np.int64)
+    peer_id = np.cumsum(first_peer) - 1
+    last_of_peer = np.append(first_peer[1:], True)
+    peer_end = idx[np.flatnonzero(last_of_peer)][peer_id]
+    return (peer_end - seg_start + 1) / seg_length(first)
+
+
 def windowed(ds: rd.Dataset, part_col: str, order_cols: list[str], make_cols,
              n_parts: int = 64) -> rd.Dataset:
     """Append window-function columns to ``ds``.

@@ -2189,6 +2189,39 @@ FROM orders
 """
 
 
+def q_order_percent_rank(sf_dir):
+    """RANK / PERCENT_RANK / CUME_DIST per order-priority class, ordered by a
+    1000-unit price band so ORDER BY ties (peers) actually occur and the
+    rank-vs-row_number distinction is exercised. The two ratio outputs are
+    single IEEE divisions of identical int64s on both engines, so the driver's
+    value hash is exact without quantization. Same one-coarse-shuffle window
+    machinery as ``order_rank_delta`` (`functions/analytic.py`)."""
+    from ..functions import analytic as an
+
+    def mk(st, first, seg_start):
+        band = (st["o_totalprice"].combine_chunks().to_numpy()
+                / 1000.0).astype(np.int64)
+        fp = an.peer_first_mask_arrays([band], first)
+        return {"price_rank": pa.array(an.rank(fp, seg_start)),
+                "pct_rank": pa.array(an.percent_rank(fp, first, seg_start)),
+                "cume_dist": pa.array(an.cume_dist(fp, first, seg_start))}
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return an.windowed(ds, "o_orderpriority", ["o_totalprice", "o_orderkey"],
+                       mk, n_parts=8).drop_columns(["o_totalprice"])
+
+
+SQL_ORDER_PERCENT_RANK = """
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER w AS price_rank,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT))
+"""
+
+
 def q_lineitem_running_qty(sf_dir):
     """Running SUM with the ANSI-default RANGE frame: (l_orderkey,
     l_linenumber) is NOT unique in this data, so ORDER BY ties are peers and
@@ -3104,6 +3137,7 @@ QUERIES = {
     "p90_price_by_segment": (q_p90_price_by_segment, SQL_P90_PRICE_BY_SEGMENT),
     "order_rank_delta": (q_order_rank_delta, SQL_ORDER_RANK_DELTA),
     "order_ntile": (q_order_ntile, SQL_ORDER_NTILE),
+    "order_percent_rank": (q_order_percent_rank, SQL_ORDER_PERCENT_RANK),
     "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
     "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
