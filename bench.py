@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dup_clusters", "epoch_shuffle", "embedding_centroids", "repetition_stats",
     "kmeans_clusters", "sequence_pack", "price_qty_corr", "orders_profile",
     "bloom_semi_orders", "pmi_bigrams", "customer_order_nations_join",
+    "semdedup_pairs", "lm_doc_score", "rebalance_sources", "length_outliers",
+    "order_percent_rank", "funnel_stages",
 ]
 
 

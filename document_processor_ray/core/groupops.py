@@ -54,9 +54,12 @@ def grouped_reduce(ds: rd.Dataset, key_cols: list[str], fn, n_parts: int = 64,
 def lookup_join(ds: rd.Dataset, kv: rd.Dataset, key_col: str, kv_key: str,
                 kv_val: str, out_col: str | None = None,
                 n_parts: int = 64, schema: pa.Schema | None = None,
-                kv_schema: pa.Schema | None = None) -> rd.Dataset:
-    """Distributed inner lookup join: append ``kv``'s value column to every row
-    of ``ds`` whose key matches (rows without a match are dropped). Both sides
+                kv_schema: pa.Schema | None = None,
+                how: str = "inner") -> rd.Dataset:
+    """Distributed lookup join: append ``kv``'s value column to every row
+    of ``ds`` whose key matches. ``how="inner"`` (default) drops rows without
+    a match; ``how="left"`` keeps them with a NULL value (LEFT OUTER — fill
+    downstream with ``pc.fill_null``). Both sides
     co-partition on the key via ONE coarse shuffle (tagged union); the
     per-partition probe is Arrow-native ``pc.index_in`` + ``take``, so payload
     columns of any type (binary, lists) survive without a pandas round-trip.
@@ -102,6 +105,8 @@ def lookup_join(ds: rd.Dataset, kv: rd.Dataset, key_col: str, kv_key: str,
         idx = pc.index_in(left[JKEY], value_set=right[JKEY].combine_chunks())
         vals = right[VAL].combine_chunks().take(idx)
         out = pa.table({c: left[c] for c in names}).append_column(out_col, vals)
+        if how == "left":
+            return out
         return out.filter(pc.is_valid(idx))
 
     return grouped_reduce(tagged, [JKEY], part_probe, n_parts=n_parts,

@@ -128,3 +128,69 @@ def kmeans(ds: rd.Dataset, k: int, n_iter: int = 5, id_col: str = "vec_id",
     ds = ds.materialize()
     return assign(ds, kmeans_fit(ds, k, n_iter, id_col, vec_col),
                   id_col, vec_col)
+
+
+def semdedup_pairs(ds: rd.Dataset, k: int = 10, threshold: float = 0.4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_parts: int = 32, block: int = 4096,
+                   centroids: np.ndarray | None = None) -> rd.Dataset:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv 2303.09540): pairwise cosine is computed only WITHIN each k-means
+    cluster — the O(n²/k) scale path that replaces the all-pairs O(n²) of
+    ``dedup.embedding_dup_pairs`` once a codebook exists.
+
+    Shape at 100 TB: one shuffle-free assignment pass (centroids broadcast via
+    ``ray.put``), then ONE co-partition exchange on the cluster id
+    (``grouped_reduce``); inside a reducer the per-cluster compare runs
+    blockwise ((block x block) tiles, only the upper triangle scored) so a hot
+    cluster bounds memory, not correctness. Emits ``(a, b, cluster)`` with
+    ``a < b`` and cosine >= threshold. Caveat (documented, same as the LSH
+    families): a single giant cluster still costs O(|c|²/2) work — raise k or
+    pre-split hot clusters upstream when the codebook is known-skewed.
+
+    ``centroids=None`` uses the deterministic lowest-id seed codebook, making
+    the whole operator SQL-mirrorable (see ``SQL_SEMDEDUP_PAIRS``)."""
+    from ..core.groupops import grouped_reduce
+
+    if centroids is None:
+        centroids = lowest_id_vectors(ds, k, id_col, vec_col)
+    cent = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        c = ray.get(cent)
+        ids, mat = ids_and_matrix(b, id_col, vec_col)
+        a = np.argmax(mat @ c.T, axis=1) if len(ids) else np.zeros(0, np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(a, pa.int64()),
+                         vec_col: b[vec_col].combine_chunks()})
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_all, mat_all = ids_and_matrix(t, id_col, vec_col)  # L2-normalized
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        out_a, out_b, out_c = [], [], []
+        order = np.argsort(cl, kind="stable")
+        bounds = np.flatnonzero(np.diff(cl[order], prepend=-1, append=-1))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            ids, mat = ids_all[sel], mat_all[sel]
+            # lowest id first inside the cluster so emitted pairs are a < b
+            o = np.argsort(ids)
+            ids, mat = ids[o], mat[o]
+            for i0 in range(0, len(ids), block):
+                ai = mat[i0 : i0 + block]
+                for j0 in range(i0, len(ids), block):
+                    sim = ai @ mat[j0 : j0 + block].T
+                    ii, jj = np.nonzero(sim >= threshold)
+                    if i0 == j0:  # strict upper triangle of the diagonal tile
+                        keep = jj > ii
+                        ii, jj = ii[keep], jj[keep]
+                    out_a.extend(ids[i0 + ii].tolist())
+                    out_b.extend(ids[j0 + jj].tolist())
+                    out_c.extend([int(cl[sel[0]])] * len(ii))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "cluster": pa.array(out_c, pa.int64())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return grouped_reduce(tagged, ["cluster"], verify, n_parts=n_parts,
+                          batch_format="pyarrow")

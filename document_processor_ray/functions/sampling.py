@@ -114,6 +114,37 @@ def deterministic_split(ds: rd.Dataset, key_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def rebalance_rates(ds: rd.Dataset, strata_col: str) -> dict[str, int]:
+    """Data-derived stratified-sample rates that DOWNSAMPLE every stratum to
+    ≈ the smallest stratum's row count (uniform mixture balancing):
+    ``rate[s] = min(255, (256 * min_count) // count[s])`` — pure integer math
+    so an SQL mirror recomputes the identical rates from the same counts.
+
+    One bounded ``groupby(strata).count()`` (cardinality = #sources, tiny);
+    the driver sees only (stratum, count) pairs. The smallest stratum itself
+    keeps 255/256 of its rows (the 2-hex-char md5 mirror cannot express
+    keep-everything; documented price of cross-engine parity)."""
+    from ray.data.aggregate import Count
+
+    rows = ds.groupby(strata_col).aggregate(Count(alias_name="n")).take_all()
+    if not rows:
+        return {}
+    mn = min(r["n"] for r in rows)
+    return {r[strata_col]: min(255, (256 * mn) // r["n"]) for r in rows}
+
+
+def rebalance_to_uniform(ds: rd.Dataset, key_col: str,
+                         strata_col: str) -> rd.Dataset:
+    """Mixture balancing: deterministic per-stratum downsample to ≈ the
+    smallest stratum (``rebalance_rates`` + ``stratified_sample``). Counts
+    pass is bounded by stratum cardinality; the sample pass is a stateless
+    shuffle-free filter, so at 100 TB this is one cheap aggregate plus one
+    streamed map."""
+    rates = rebalance_rates(ds, strata_col)
+    return stratified_sample(ds, key_col, strata_col, rates=rates,
+                             default_bytes=0)
+
+
 def upsample_mixture(ds: rd.Dataset, key_col: str, n_full: int,
                      frac_bytes: int, epoch_col: str = "epoch") -> rd.Dataset:
     """Deterministic fractional upsampling — the data-recipe weighting op

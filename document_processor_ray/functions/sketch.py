@@ -222,6 +222,62 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
     return int(round(merged.estimate()))
 
 
+def approx_distinct_by(ds: rd.Dataset, group_col: str, col: str,
+                       p: int = 10, n_parts: int = 32) -> rd.Dataset:
+    """GROUPED HLL count-distinct: ``(group_col, approx_distinct)`` — the
+    sketch path for COUNT(DISTINCT x) GROUP BY g when x is high-cardinality
+    (exact `distinct_users` shuffles every (g, x) pair; this ships one
+    2^p-byte register array per (batch, group) instead, merged under ONE
+    coarse co-partition on the group key). Registers max-combine, so the
+    merge is associative/commutative — partitioning-invariant by
+    construction."""
+    from ..core.groupops import grouped_reduce
+
+    def _segments(gv: np.ndarray):
+        """(order, segment bounds) for a possibly-string group key."""
+        order = np.argsort(gv, kind="stable")
+        so = gv[order]
+        if not len(so):
+            return order, np.array([0], dtype=np.int64)
+        first = np.empty(len(so), dtype=bool)
+        first[0] = True
+        first[1:] = so[1:] != so[:-1]
+        return order, np.append(np.flatnonzero(first), len(so))
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        gv = b[group_col].to_numpy(zero_copy_only=False)
+        vv = b[col].to_pylist()
+        order, bounds = _segments(gv)
+        groups, sketches = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            h = HLL(p)
+            h.add_hashes(_hash_col([vv[i] for i in sel]))
+            groups.append(gv[sel[0]])
+            sketches.append(h.to_bytes())
+        return pa.table({group_col: pa.array(groups, b[group_col].type),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        gv = t[group_col].to_numpy(zero_copy_only=False)
+        sk = t["sketch"].to_pylist()
+        order, bounds = _segments(gv)
+        groups, ests = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            h = HLL.from_bytes(sk[sel[0]], p)
+            for i in sel[1:]:
+                h.merge(HLL.from_bytes(sk[i], p))
+            groups.append(gv[sel[0]])
+            ests.append(int(round(h.estimate())))
+        return pa.table({group_col: pa.array(groups, t[group_col].type),
+                         "approx_distinct": pa.array(ests, pa.int64())})
+
+    sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    return grouped_reduce(sketched, [group_col], merge_part, n_parts=n_parts,
+                          batch_format="pyarrow")
+
+
 class MisraGries:
     """Misra-Gries heavy-hitters summary (Misra & Gries '82): at most ``m``
     counters; every stored count is a LOWER bound on the true frequency, and

@@ -459,6 +459,43 @@ ORDER BY pmi_e9 DESC, bigram ASC LIMIT 20
 """
 
 
+def q_lm_doc_score(sf_dir):
+    """Corpus-bigram-LM log-likelihood per document — the CCNet quality signal
+    (Wenzek et al. 2019, arXiv 1911.00359) engine-native: LM built in one
+    vocabulary-scale shuffle, docs scored via two co-partitioned lookup_joins
+    (vocabulary never broadcast), per-position contributions nano-quantized
+    before the order-free int64 sum (``functions/lm.py``)."""
+    from ..functions.lm import lm_bigram_score
+
+    return lm_bigram_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_LM_DOC_SCORE = """
+WITH tl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                             x -> x <> '') AS tokens
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(tokens) AS tok, unnest(range(len(tokens))) AS pos FROM tl
+), uni AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), pairs AS (
+  SELECT doc_id, tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+), bg AS (
+  SELECT doc_id, a, b FROM pairs WHERE b IS NOT NULL
+), bigc AS (
+  SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(floor(ln(CAST(c.c_ab AS DOUBLE) / CAST(u.c AS DOUBLE))
+                           * 1.0e9 + 0.5e0) AS BIGINT)) AS BIGINT) AS ll_e9
+FROM bg JOIN bigc c ON bg.a = c.a AND bg.b = c.b
+JOIN uni u ON bg.a = u.tok
+GROUP BY bg.doc_id
+"""
+
+
 def q_approx_token_topk(sf_dir):
     """Approximate heavy hitters via a mergeable Misra-Gries summary — the
     sketch-path companion to the exact `token_freq` (whose (token, count)
@@ -675,6 +712,53 @@ def q_quantity_quantiles(sf_dir):
 
     return hist.repartition(1).map_batches(pick, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def _exact_disc_quantiles(ds, col: str, qs: list[float]) -> list[int]:
+    """Exact ``quantile_disc`` cut values of an integer column, distributed:
+    per-batch value_counts partials → bounded (value, count) groupby → one
+    tiny driver-side cumulative walk (the `quantity_quantiles` machinery as a
+    reusable helper). Driver sees one row per DISTINCT value — fine for
+    bounded domains (lengths, ratings, codes); use the KLL sketch for
+    unbounded/float columns."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].combine_chunks()
+        vc = pc.value_counts(v)
+        return pa.table({"v": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")).take_all())
+    rows.sort(key=lambda r: r["v"])
+    v = np.array([r["v"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["n"] for r in rows], dtype=np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    return [int(v[np.searchsorted(cum, int(np.ceil(total * q)))]) for q in qs]
+
+
+def q_length_outliers(sf_dir):
+    """Length-outlier filter with DATA-DERIVED cuts: documents whose n_chars
+    falls outside the corpus's exact [p05, p95] — the standard pre-training
+    length filter, with the cut values computed by the engine itself (exact
+    distributed quantile pass) rather than hard-coded. Two streamed passes:
+    a bounded (value, count) histogram, then a stateless filter."""
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    lo, hi = _exact_disc_quantiles(ds, "n_chars", [0.05, 0.95])
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.less(b["n_chars"], lo), pc.greater(b["n_chars"], hi))
+        return b.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                  quantile_disc(n_chars, 0.95) AS hi FROM documents)
+SELECT doc_id, n_chars FROM documents CROSS JOIN b
+WHERE n_chars < lo OR n_chars > hi
+"""
 
 
 SQL_QUANTITY_QUANTILES = """
@@ -1033,6 +1117,34 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1
 """
 
 
+def q_semdedup_pairs(sf_dir):
+    """SemDeDup (arXiv 2303.09540): near-dup pairs by cosine, computed only
+    WITHIN k-means clusters — O(n²/k) vs embedding_dup_pairs' all-pairs. Seed
+    codebook = the 10 lowest-id vectors (deterministic, so the assignment AND
+    the in-cluster pair set are SQL-mirrorable; ids only in the output — the
+    cosine value itself differs from DuckDB's in final float bits)."""
+    from ..functions import cluster as cl
+
+    return cl.semdedup_pairs(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                             k=10, threshold=0.4)
+
+
+SQL_SEMDEDUP_PAIRS = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           ORDER BY vec_id LIMIT 10),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_cosine_similarity(e.embedding, c.ce) AS s
+  FROM embeddings e CROSS JOIN c),
+asg AS (
+  SELECT vec_id, embedding, cid AS cluster FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1)
+SELECT x.vec_id AS a, y.vec_id AS b, x.cluster
+FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+"""
+
+
 def q_kmeans_clusters(sf_dir):
     """Full distributed spherical k-means (k=10, 5 Lloyd iterations): corpus
     bucketing by embedding similarity for mixture balancing / cluster-sharded
@@ -1150,6 +1262,38 @@ SELECT event_type, window_start, count(*) AS n_events FROM (
          (epoch_us(ts) // 3600000000) * 3600 - 3600 * g.i AS window_start
   FROM events, (SELECT unnest([0, 1]) AS i) g)
 GROUP BY event_type, window_start
+"""
+
+
+def q_funnel_stages(sf_dir):
+    """Ordered-funnel analysis (view → click → purchase) per user: greedy-
+    minimal matching (step k+1 strictly after the earliest completion of step
+    k) — ONE co-partition on user_id, all users in a bucket processed at once
+    via per-step masked np.minimum.at (``functions/funnel.py``)."""
+    from ..functions.funnel import funnel_stages
+
+    return funnel_stages(
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        steps=["view", "click", "purchase"], n_parts=32)
+
+
+SQL_FUNNEL_STAGES = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
 """
 
 
@@ -1876,6 +2020,28 @@ WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
 """
 
 
+def q_rebalance_sources(sf_dir):
+    """Uniform mixture balancing: every source downsampled to ≈ the smallest
+    source's count with DATA-DERIVED integer rates (``rebalance_rates``:
+    bounded counts pass → rate = min(255, (256·min)//n) → stateless md5
+    filter). Hash-checked on the sampled membership itself; the SQL mirror
+    recomputes the identical rates from the same GROUP BY counts."""
+    from ..functions.sampling import rebalance_to_uniform
+
+    return rebalance_to_uniform(_t(sf_dir, "documents", ["doc_id", "source"]),
+                                "doc_id", "source")
+
+
+SQL_REBALANCE_SOURCES = """
+WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+mn AS (SELECT min(n) AS m FROM cnt),
+rate AS (SELECT source, LEAST(255, (256 * m) // n) AS r FROM cnt CROSS JOIN mn)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rate USING (source)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r)
+"""
+
+
 def q_split_counts(sf_dir):
     """Deterministic train/valid/test split assignment (leak-proof under any
     repartitioning), aggregated to per-split counts."""
@@ -2245,6 +2411,47 @@ SELECT l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS BIGINT)) OVER
             (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS cum_qty
 FROM lineitem
+"""
+
+
+def q_customer_order_counts(sf_dir):
+    """LEFT OUTER join: every customer with their order count, zero for
+    customers with no orders. The fact side collapses to (custkey, count)
+    partials inside map_batches BEFORE any exchange (shuffle carries counts,
+    never order rows); the dimension side attaches via ONE co-partitioned
+    ``lookup_join(how="left")`` — unmatched customers survive with NULL →
+    filled 0 (`core/groupops.py`)."""
+    from ..core.groupops import lookup_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b["o_custkey"].combine_chunks())
+        return pa.table({"o_custkey": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = _cast_int64(
+        (_t(sf_dir, "orders", ["o_custkey"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("o_custkey").aggregate(Sum("n", alias_name="n"))), ["n"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = lookup_join(
+        cust, counts, "c_custkey", "o_custkey", "n", out_col="n_orders",
+        how="left", n_parts=32,
+        schema=pa.schema([("c_custkey", pa.int64()),
+                          ("c_mktsegment", pa.string())]),
+        kv_schema=pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]))
+
+    def fill(b: pa.Table) -> pa.Table:
+        return b.set_column(b.column_names.index("n_orders"), "n_orders",
+                            pc.fill_null(b["n_orders"], 0))
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, c.c_mktsegment, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                           GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
 """
 
 
@@ -3056,6 +3263,18 @@ def q_approx_distinct_users(sf_dir):
                      "estimate": pa.array([est], pa.int64())})
 
 
+def q_approx_users_by_type(sf_dir):
+    """GROUPED HLL count-distinct: approx distinct users per event type — the
+    sketch path for COUNT(DISTINCT) GROUP BY at 100 TB (ships one 1 KiB
+    register array per (batch, group) instead of every (group, user) pair;
+    ``functions/sketch.py::approx_distinct_by``). Rows-only: accuracy is
+    tolerance-tested vs the exact counts in pytest."""
+    from ..functions.sketch import approx_distinct_by
+
+    return approx_distinct_by(_t(sf_dir, "events", ["event_type", "user_id"]),
+                              "event_type", "user_id")
+
+
 def q_extract_metrics(sf_dir):
     from .extract import ExtractConfig, build_extraction
 
@@ -3092,10 +3311,12 @@ QUERIES = {
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "lm_doc_score": (q_lm_doc_score, SQL_LM_DOC_SCORE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "approx_token_topk": (q_approx_token_topk, None),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
+    "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
@@ -3112,16 +3333,19 @@ QUERIES = {
     "knn_ivf": (q_knn_ivf, None),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "semdedup_pairs": (q_semdedup_pairs, SQL_SEMDEDUP_PAIRS),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "near_dedup_resolve": (q_near_dedup_resolve, None),
     "html_strip_stats": (q_html_strip_stats, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_users_by_type": (q_approx_users_by_type, None),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
@@ -3140,6 +3364,7 @@ QUERIES = {
     "order_percent_rank": (q_order_percent_rank, SQL_ORDER_PERCENT_RANK),
     "lineitem_running_qty": (q_lineitem_running_qty, SQL_LINEITEM_RUNNING_QTY),
     "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "customer_order_counts": (q_customer_order_counts, SQL_CUSTOMER_ORDER_COUNTS),
     "bloom_semi_orders": (q_bloom_semi_orders, SQL_BLOOM_SEMI_ORDERS),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "orders_pivot": (q_orders_pivot, SQL_ORDERS_PIVOT),
@@ -3155,6 +3380,7 @@ QUERIES = {
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
+    "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "upsample_docs": (q_upsample_docs, SQL_UPSAMPLE_DOCS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),

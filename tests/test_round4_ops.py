@@ -1,0 +1,223 @@
+"""Round-4 operator tests: rank-family window kernels, SemDeDup, mixture
+rebalancing, bigram-LM scoring, grouped HLL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# RANK / PERCENT_RANK / CUME_DIST kernels
+# ---------------------------------------------------------------------------
+
+
+def test_rank_family_kernels_match_naive():
+    from document_processor_ray.functions import analytic as an
+
+    # partitions of sizes 6, 1, 3 with ties inside
+    first = np.zeros(10, bool)
+    first[[0, 6, 7]] = True
+    idx = np.arange(10)
+    seg_start = np.maximum.accumulate(np.where(first, idx, 0))
+    vals = np.array([3, 3, 5, 5, 5, 9, 1, 2, 2, 4])
+    fp = an.peer_first_mask_arrays([vals], first)
+
+    assert an.rank(fp, seg_start).tolist() == [1, 1, 3, 3, 3, 6, 1, 1, 1, 3]
+    pr = an.percent_rank(fp, first, seg_start)
+    exp_pr = [0, 0, 2 / 5, 2 / 5, 2 / 5, 1.0, 0.0, 0, 0, 2 / 2]
+    assert np.allclose(pr, exp_pr)
+    cd = an.cume_dist(fp, first, seg_start)
+    exp_cd = [2 / 6, 2 / 6, 5 / 6, 5 / 6, 5 / 6, 1.0, 1.0, 2 / 3, 2 / 3, 1.0]
+    assert np.allclose(cd, exp_cd)
+
+
+def test_rank_family_empty():
+    from document_processor_ray.functions import analytic as an
+
+    z = np.zeros(0, bool)
+    assert len(an.rank(z, np.zeros(0, np.int64))) == 0
+    assert len(an.percent_rank(z, z, np.zeros(0, np.int64))) == 0
+    assert len(an.cume_dist(z, z, np.zeros(0, np.int64))) == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _rand_vecs(n, d, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_pairs_match_naive():
+    from document_processor_ray.functions.cluster import (lowest_id_vectors,
+                                                          semdedup_pairs)
+
+    n, d, k, thr = 120, 16, 5, 0.5
+    mat = _rand_vecs(n, d)
+    # plant near-dups
+    mat[50] = mat[10] + 0.01
+    mat[90] = mat[10] - 0.01
+    items = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    ds = rd.from_items(items)
+    got = {(r["a"], r["b"]) for r in
+           semdedup_pairs(ds, k=k, threshold=thr, block=32).take_all()}
+
+    # naive: same centroids, same assignment, within-cluster pairs
+    cent = mat[:k] / np.linalg.norm(mat[:k], axis=1, keepdims=True)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    asg = np.argmax(normed @ cent.T, axis=1)
+    exp = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if asg[a] == asg[b] and normed[a] @ normed[b] >= thr:
+                exp.add((a, b))
+    assert got == exp
+    assert (10, 50) in got or (10, 90) in got  # planted dups found
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_pairs_subset_of_all_pairs():
+    from document_processor_ray.functions.cluster import semdedup_pairs
+    from document_processor_ray.functions.dedup import embedding_dup_pairs
+
+    n, d = 80, 8
+    mat = _rand_vecs(n, d, seed=9)
+    items = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    sem = {(r["a"], r["b"]) for r in
+           semdedup_pairs(rd.from_items(items), k=4, threshold=0.4).take_all()}
+    allp = {(r["a"], r["b"]) for r in
+            embedding_dup_pairs(rd.from_items(items), threshold=0.4).take_all()}
+    assert sem <= allp
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebalance_rates_formula_and_uniformity():
+    from document_processor_ray.functions.sampling import (rebalance_rates,
+                                                           rebalance_to_uniform)
+
+    items = ([{"k": i, "s": "big"} for i in range(4000)]
+             + [{"k": 10_000 + i, "s": "small"} for i in range(400)])
+    ds = rd.from_items(items)
+    rates = rebalance_rates(ds, "s")
+    assert rates == {"big": (256 * 400) // 4000, "small": 255}
+
+    kept = rebalance_to_uniform(ds, "k", "s").take_all()
+    by = {}
+    for r in kept:
+        by[r["s"]] = by.get(r["s"], 0) + 1
+    # each stratum lands near 400 (rate k/256 of its size; md5 noise ~ ±20%)
+    assert 280 < by["big"] < 520
+    assert 300 < by["small"] <= 400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebalance_membership_invariant_under_repartition():
+    from document_processor_ray.functions.sampling import rebalance_to_uniform
+
+    items = ([{"k": i, "s": "a"} for i in range(900)]
+             + [{"k": 5000 + i, "s": "b"} for i in range(300)])
+    one = {r["k"] for r in
+           rebalance_to_uniform(rd.from_items(items), "k", "s").take_all()}
+    two = {r["k"] for r in
+           rebalance_to_uniform(rd.from_items(items).repartition(7), "k",
+                                "s").take_all()}
+    assert one == two
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_bigram_score_matches_naive():
+    import math
+    from collections import Counter
+
+    from document_processor_ray.functions.lm import lm_bigram_score
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "cat and dog and cat",
+        4: "solo",             # 1 token -> no bigrams -> absent from output
+        5: "",                 # empty -> absent
+        6: "the the the",
+    }
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+    got = {r["doc_id"]: (r["n_bigrams"], r["ll_e9"])
+           for r in lm_bigram_score(ds).take_all()}
+
+    toks = {i: t.split() for i, t in docs.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    big = Counter((ws[j], ws[j + 1]) for ws in toks.values()
+                  for j in range(len(ws) - 1))
+    exp = {}
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        q = [math.floor(math.log(big[(ws[j], ws[j + 1])] / uni[ws[j]])
+                        * 1e9 + 0.5) for j in range(len(ws) - 1)]
+        exp[i] = (len(ws) - 1, sum(q))
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_stages_match_naive():
+    from document_processor_ray.functions.funnel import funnel_stages
+
+    # user 1: full funnel; user 2: view+click only; user 3: click before view
+    # (click must NOT count — strictly after the first view); user 4: purchase
+    # only (stage 0); user 5: view at same ts as click (strict > -> stage 1)
+    ev = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        (2, 10, "view"), (2, 5, "click"), (2, 50, "click"),
+        (3, 40, "click"), (3, 50, "view"),
+        (4, 10, "purchase"),
+        (5, 10, "view"), (5, 10, "click"),
+    ]
+    ds = rd.from_items([{"user_id": u, "ts": t, "event_type": e}
+                        for u, t, e in ev]).repartition(3)
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(
+        ds, ["view", "click", "purchase"], n_parts=4).take_all()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_by_group_tolerance():
+    from document_processor_ray.functions.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(5)
+    rows = []
+    true = {"a": 900, "b": 150, "c": 3000}
+    for g, n in true.items():
+        for _ in range(n * 3):  # repeats: distinct stays n
+            rows.append({"g": g, "u": int(rng.integers(0, n))})
+    ds = rd.from_items(rows).repartition(6)
+    got = {r["g"]: r["approx_distinct"]
+           for r in approx_distinct_by(ds, "g", "u", p=10).take_all()}
+    assert set(got) == set(true)
+    for g, n in true.items():
+        assert abs(got[g] - n) / n < 0.12, (g, n, got[g])
