@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "kmeans_clusters", "sequence_pack", "price_qty_corr", "orders_profile",
     "bloom_semi_orders", "pmi_bigrams", "customer_order_nations_join",
     "semdedup_pairs", "lm_doc_score", "rebalance_sources", "length_outliers",
-    "order_percent_rank", "funnel_stages",
+    "order_percent_rank", "funnel_stages", "ccnet_tiers",
 ]
 
 
@@ -405,6 +405,18 @@ def run_scaling() -> dict:
         slow = p_hi / p_lo  # in-situ: same pipeline code as the probe
     else:
         slow = machine_parallel_slowdown((lo * 3) // 4, (hi * 3) // 4)
+    if gate and p_lo and p_hi and slow > gate:
+        # The instantaneous pre/post probes miss waves that land INSIDE a
+        # level's timing window and clear before the post-probe (measured
+        # 2026-08-18: in-situ 1.211 with both probes <= 1.12). The in-situ
+        # slowdown covers the whole window — pre-registered rule (BASELINE.md
+        # round-4 note): quiet-host band is 1.04-1.09, > gate means a wave
+        # corrupted the window. Mechanical, decided by the same threshold as
+        # the probes: abort without recording.
+        print(json.dumps({"metric": "scaling_aborted_insitu",
+                          "insitu_slowdown": round(slow, 3), "gate": gate,
+                          "raw_would_be": round(eff, 3)}), file=sys.stderr)
+        raise SystemExit(3)
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
