@@ -85,7 +85,8 @@ BENCH_QUERIES = [
     "kmeans_clusters", "sequence_pack", "price_qty_corr", "orders_profile",
     "bloom_semi_orders", "pmi_bigrams", "customer_order_nations_join",
     "semdedup_pairs", "lm_doc_score", "rebalance_sources", "length_outliers",
-    "order_percent_rank", "funnel_stages", "ccnet_tiers",
+    "order_percent_rank", "funnel_stages", "ccnet_tiers", "doc_features_knn",
+    "weighted_sample_orders", "approx_users_by_type", "customer_order_counts",
 ]
 
 

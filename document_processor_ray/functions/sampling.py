@@ -114,6 +114,47 @@ def deterministic_split(ds: rd.Dataset, key_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _key_uniform(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uniform in (0, 1) per key: first 8 md5 digest bytes →
+    (x + 0.5) / 2^64 (never 0 or 1, so log is finite)."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    x = np.array([int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
+                                 "big") for v in col.to_pylist()],
+                 dtype=np.float64)
+    return (x + 0.5) / float(2**64)
+
+
+def weighted_sample_topk(ds: rd.Dataset, key_col: str, weight_col: str,
+                         k: int) -> rd.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets score ``ln(u) / w`` (u = md5-uniform of the
+    key, w > 0 its weight) and the k LARGEST scores win — inclusion
+    probability proportional to weight, reproducible across runs and
+    repartitioning because u is a pure function of the key.
+
+    Scale: per-batch partial top-k first, so the global sort sees at most
+    k rows per batch, never the corpus."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.any(w <= 0):
+            raise ValueError("weighted_sample_topk needs strictly positive "
+                             "weights")
+        s = np.log(_key_uniform(b[key_col])) / w
+        b = b.append_column("__es_score", pa.array(s, pa.float64()))
+        top = pc.sort_indices(b["__es_score"], order="descending")[:k]
+        return b.take(top)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .sort("__es_score", descending=True).limit(k))
+    return out.drop_columns(["__es_score"])
+
+
 def rebalance_rates(ds: rd.Dataset, strata_col: str) -> dict[str, int]:
     """Data-derived stratified-sample rates that DOWNSAMPLE every stratum to
     ≈ the smallest stratum's row count (uniform mixture balancing):

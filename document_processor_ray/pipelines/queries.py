@@ -496,6 +496,52 @@ GROUP BY bg.doc_id
 """
 
 
+def q_ccnet_tiers(sf_dir):
+    """CCNet-style quality tiering (Wenzek et al. 2019 §4.4: bucket the corpus
+    into head/middle/tail by LM score): per-doc average bigram-LM
+    log-likelihood (floor of an IEEE division of the two int64s from
+    ``lm_doc_score`` — bit-identical across engines), quartile cuts from the
+    exact distributed quantile pass, then a stateless tier label. The tier
+    CUTS are data-derived by the engine, mirroring how CCNet derives them
+    from the corpus percentiles."""
+    from ..functions.lm import lm_bigram_score
+
+    scored = lm_bigram_score(_docs(sf_dir, ["doc_id", "text"])).materialize()
+
+    def avg(b: pa.Table) -> pa.Table:
+        ll = b["ll_e9"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.floor(ll / n).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "avg_ll_e9": pa.array(a, pa.int64())})
+
+    av = scored.map_batches(avg, batch_format="pyarrow").materialize()
+    lo, hi = _exact_disc_quantiles(av, "avg_ll_e9", [0.25, 0.75])
+
+    def tier(b: pa.Table) -> pa.Table:
+        a = b["avg_ll_e9"].to_numpy(zero_copy_only=False)
+        t = np.where(a >= hi, "head", np.where(a <= lo, "tail", "middle"))
+        return b.append_column("tier", pa.array(t.tolist(), pa.string()))
+
+    return av.map_batches(tier, batch_format="pyarrow")
+
+
+SQL_CCNET_TIERS = f"""
+WITH lmres AS ({SQL_LM_DOC_SCORE}),
+score AS (
+  SELECT doc_id, CAST(floor(CAST(ll_e9 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                      AS BIGINT) AS avg_ll_e9
+  FROM lmres),
+cuts AS (SELECT quantile_disc(avg_ll_e9, 0.25) AS lo,
+                quantile_disc(avg_ll_e9, 0.75) AS hi FROM score)
+SELECT doc_id, avg_ll_e9,
+       CASE WHEN avg_ll_e9 >= hi THEN 'head'
+            WHEN avg_ll_e9 <= lo THEN 'tail'
+            ELSE 'middle' END AS tier
+FROM score CROSS JOIN cuts
+"""
+
+
 def q_approx_token_topk(sf_dir):
     """Approximate heavy hitters via a mergeable Misra-Gries summary — the
     sketch-path companion to the exact `token_freq` (whose (token, count)
@@ -1143,6 +1189,30 @@ SELECT x.vec_id AS a, y.vec_id AS b, x.cluster
 FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
 """
+
+
+def q_doc_features_knn(sf_dir):
+    """Featurize raw text with the hashing trick (no vocabulary, stateless
+    actor-pool pass — ``functions/features.py``) and run exact cosine kNN for
+    the 3 lowest-id docs over the hashed vectors: the embedding-free
+    similarity-search composition (featurize → knn) for corpora with no
+    learned embeddings. Rows-only: blake2b bucket hashing has no SQL
+    counterpart; pytest pins the featurizer against a naive oracle."""
+    from ..functions import similarity as sim
+    from ..functions.features import hash_features
+
+    feats = hash_features(_docs(sf_dir, ["doc_id", "text"]), dim=64) \
+        .materialize()
+
+    def bottom(b: pa.Table) -> pa.Table:
+        return b.take(pc.sort_indices(b["doc_id"])[:3])
+
+    rows = (feats.map_batches(bottom, batch_format="pyarrow")
+            .sort("doc_id").limit(3).take_all())
+    qvecs = np.array([r["vec"] for r in rows], dtype=np.float64)
+    qids = [r["doc_id"] for r in rows]
+    return sim.knn_cosine(feats, qvecs, qids, k=5, id_col="doc_id",
+                          vec_col="vec")
 
 
 def q_kmeans_clusters(sf_dir):
@@ -2040,6 +2110,18 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rate USING (source)
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r)
 """
+
+
+def q_weighted_sample_orders(sf_dir):
+    """Deterministic weighted sample without replacement (Efraimidis–Spirakis
+    ln(u)/w top-k; inclusion ∝ o_totalprice). Rows-only: the exact float
+    boundary at the k-th score has no stable SQL mirror, so correctness is
+    pinned by the naive-oracle + repartition-invariance pytest instead."""
+    from ..functions.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_orderkey", "o_totalprice", k=100)
 
 
 def q_split_counts(sf_dir):
@@ -3312,6 +3394,7 @@ QUERIES = {
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "lm_doc_score": (q_lm_doc_score, SQL_LM_DOC_SCORE),
+    "ccnet_tiers": (q_ccnet_tiers, SQL_CCNET_TIERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "approx_token_topk": (q_approx_token_topk, None),
@@ -3334,6 +3417,7 @@ QUERIES = {
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup_pairs": (q_semdedup_pairs, SQL_SEMDEDUP_PAIRS),
+    "doc_features_knn": (q_doc_features_knn, None),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
@@ -3381,6 +3465,7 @@ QUERIES = {
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
+    "weighted_sample_orders": (q_weighted_sample_orders, None),
     "upsample_docs": (q_upsample_docs, SQL_UPSAMPLE_DOCS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),

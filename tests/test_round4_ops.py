@@ -137,6 +137,51 @@ def test_rebalance_membership_invariant_under_repartition():
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_matches_naive_and_is_partition_invariant():
+    import hashlib
+
+    from document_processor_ray.functions.sampling import weighted_sample_topk
+
+    n, k = 600, 40
+    rng = np.random.default_rng(11)
+    w = rng.integers(1, 1000, size=n).astype(float)
+    items = [{"k": i, "w": float(w[i])} for i in range(n)]
+
+    def naive_topk():
+        scores = {}
+        for i in range(n):
+            x = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+            u = (x + 0.5) / 2**64
+            scores[i] = np.log(u) / w[i]
+        return set(sorted(scores, key=scores.get, reverse=True)[:k])
+
+    got1 = {r["k"] for r in weighted_sample_topk(
+        rd.from_items(items), "k", "w", k).take_all()}
+    got2 = {r["k"] for r in weighted_sample_topk(
+        rd.from_items(items).repartition(9), "k", "w", k).take_all()}
+    assert got1 == naive_topk()
+    assert got1 == got2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_prefers_heavy_rows():
+    from document_processor_ray.functions.sampling import weighted_sample_topk
+
+    # 50 heavy rows (w=1000) among 500 light (w=1): heavy dominate the top-k
+    items = ([{"k": i, "w": 1000.0} for i in range(50)]
+             + [{"k": 100 + i, "w": 1.0} for i in range(500)])
+    got = [r["k"] for r in weighted_sample_topk(
+        rd.from_items(items), "k", "w", 30).take_all()]
+    heavy = sum(1 for x in got if x < 50)
+    assert heavy >= 25, heavy
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM scoring
 # ---------------------------------------------------------------------------
 
@@ -175,6 +220,35 @@ def test_lm_bigram_score_matches_naive():
 
 
 # ---------------------------------------------------------------------------
+# Feature hashing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_features_match_naive():
+    import hashlib
+
+    from document_processor_ray.functions.features import hash_features
+
+    docs = {1: "a b a c", 2: "", 3: "zzz zzz"}
+    dim = 8
+    got = {r["doc_id"]: np.array(r["vec"]) for r in hash_features(
+        rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()]),
+        dim=dim).take_all()}
+
+    def h(tok):
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+
+    for i, t in docs.items():
+        exp = np.zeros(dim)
+        for tok in t.split():
+            hv = h(tok)
+            exp[hv % dim] += -1.0 if (hv >> 63) & 1 else 1.0
+        assert np.allclose(got[i], exp), (i, got[i], exp)
+
+
+# ---------------------------------------------------------------------------
 # Funnel
 # ---------------------------------------------------------------------------
 
@@ -198,6 +272,31 @@ def test_funnel_stages_match_naive():
     got = {r["user_id"]: r["stage"] for r in funnel_stages(
         ds, ["view", "click", "purchase"], n_parts=4).take_all()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# LEFT lookup join
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lookup_join_left_keeps_unmatched():
+    from document_processor_ray.core.groupops import lookup_join
+
+    ds = rd.from_items([{"k": i, "x": i * 10} for i in range(6)])
+    kv = rd.from_items([{"kk": 1, "v": "one"}, {"kk": 4, "v": "four"}])
+    sch = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    kvs = pa.schema([("kk", pa.int64()), ("v", pa.string())])
+
+    inner = {r["k"]: r["v"] for r in lookup_join(
+        ds, kv, "k", "kk", "v", n_parts=4, schema=sch,
+        kv_schema=kvs).take_all()}
+    assert inner == {1: "one", 4: "four"}
+
+    left = {r["k"]: r["v"] for r in lookup_join(
+        ds, kv, "k", "kk", "v", n_parts=4, schema=sch, kv_schema=kvs,
+        how="left").take_all()}
+    assert left == {0: None, 1: "one", 2: None, 3: None, 4: "four", 5: None}
 
 
 # ---------------------------------------------------------------------------
