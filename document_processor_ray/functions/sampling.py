@@ -147,7 +147,7 @@ def weighted_sample_topk(ds: rd.Dataset, key_col: str, weight_col: str,
                              "weights")
         s = np.log(_key_uniform(b[key_col])) / w
         b = b.append_column("__es_score", pa.array(s, pa.float64()))
-        top = pc.sort_indices(b["__es_score"], order="descending")[:k]
+        top = pc.sort_indices(b, sort_keys=[("__es_score", "descending")])[:k]
         return b.take(top)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")

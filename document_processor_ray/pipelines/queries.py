@@ -2090,6 +2090,58 @@ WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
 """
 
 
+def q_source_top_docs(sf_dir):
+    """Per-group ordered collect: the 3 longest docs per source, materialized
+    as an ordered comma-joined id string (the grouped string_agg / collect_list
+    family). Scale shape = grouped top-k: every batch keeps only its own top-3
+    per source (one lexsort + segment mask, vectorized), so the exchange
+    carries ≤ 3·sources rows per batch; the final per-group join runs on ≤ 3
+    rows per group."""
+    from ..core.groupops import grouped_reduce
+    from ..functions.analytic import _sort_segments
+
+    def top3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.append_column("__neg", pc.multiply(t["n_chars"], pa.scalar(-1)))
+        st, _first, seg_start = _sort_segments(t, "source", ["__neg", "doc_id"])
+        rn0 = np.arange(st.num_rows, dtype=np.int64) - seg_start
+        return st.filter(pa.array(rn0 < 3)).drop_columns(["__neg"])
+
+    ds = (_t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+          .map_batches(top3, batch_format="pyarrow"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t2 = top3(t)
+        src = t2["source"].to_numpy(zero_copy_only=False)
+        ids = t2["doc_id"].to_numpy(zero_copy_only=False)
+        out_s, out_ids = [], []
+        i = 0
+        while i < len(src):
+            j = i
+            while j < len(src) and src[j] == src[i]:
+                j += 1
+            out_s.append(src[i])
+            out_ids.append(",".join(str(x) for x in ids[i:j]))
+            i = j
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "top_docs": pa.array(out_ids, pa.string())})
+
+    return grouped_reduce(ds, ["source"], fin, n_parts=8,
+                          batch_format="pyarrow")
+
+
+SQL_SOURCE_TOP_DOCS = """
+WITH t AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs
+FROM t WHERE rn <= 3 GROUP BY source
+"""
+
+
 def q_rebalance_sources(sf_dir):
     """Uniform mixture balancing: every source downsampled to ≈ the smallest
     source's count with DATA-DERIVED integer rates (``rebalance_rates``:
@@ -3465,6 +3517,7 @@ QUERIES = {
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
+    "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),
     "weighted_sample_orders": (q_weighted_sample_orders, None),
     "upsample_docs": (q_upsample_docs, SQL_UPSAMPLE_DOCS),
     "extract_flagship": (q_extract_flagship, None),
