@@ -406,7 +406,13 @@ def run_scaling() -> dict:
         slow = p_hi / p_lo  # in-situ: same pipeline code as the probe
     else:
         slow = machine_parallel_slowdown((lo * 3) // 4, (hi * 3) // 4)
-    if gate and p_lo and p_hi and slow > gate:
+    # the record-validity gate may be stricter than the (economic) preflight
+    # gate: a steady mild-steal window can still yield a fair ratio, so it is
+    # worth STARTING a run at probe ~1.13 — but the row only records if the
+    # in-situ slowdown over the actual timing windows stayed quiet
+    insitu_gate = float(os.environ.get("GRAFT_SCALING_INSITU_GATE", "0") or 0) \
+        or gate
+    if insitu_gate and p_lo and p_hi and slow > insitu_gate:
         # The instantaneous pre/post probes miss waves that land INSIDE a
         # level's timing window and clear before the post-probe (measured
         # 2026-08-18: in-situ 1.211 with both probes <= 1.12). The in-situ
@@ -415,7 +421,8 @@ def run_scaling() -> dict:
         # corrupted the window. Mechanical, decided by the same threshold as
         # the probes: abort without recording.
         print(json.dumps({"metric": "scaling_aborted_insitu",
-                          "insitu_slowdown": round(slow, 3), "gate": gate,
+                          "insitu_slowdown": round(slow, 3),
+                          "gate": insitu_gate,
                           "raw_would_be": round(eff, 3)}), file=sys.stderr)
         raise SystemExit(3)
     summary = {
