@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "semdedup_pairs", "lm_doc_score", "rebalance_sources", "length_outliers",
     "order_percent_rank", "funnel_stages", "ccnet_tiers", "doc_features_knn",
     "weighted_sample_orders", "approx_users_by_type", "customer_order_counts",
+    "incremental_novel", "source_top_docs",
 ]
 
 

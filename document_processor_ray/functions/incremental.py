@@ -1,0 +1,81 @@
+"""Incremental exact dedup against a PERSISTED fingerprint index — the
+streaming-ingest pattern: when a new crawl increment arrives, dedup it against
+a 100 TB corpus WITHOUT re-shuffling (or even fully re-reading) the corpus.
+
+Build once: one pass over the corpus writes distinct text-sha fingerprints
+hash-partitioned into ``part=N/`` parquet dirs (same layout + stable hash as
+``functions/index.py`` — the partition id is recomputable at probe time).
+
+Probe per increment: the increment co-partitions on the SAME hash, and each
+reducer reads exactly its own ``part=N`` fingerprint files from shared
+storage — index I/O per increment is proportional to the increment's
+partition coverage, and the corpus-sized index never moves through the object
+store. Append the surviving increment's fingerprints to keep the index
+current (idempotent per part).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..core.groupops import _stable_part
+from .dedup import add_text_sha
+
+
+def _add_sha_part(b: pa.Table, text_col: str, n_parts: int) -> pa.Table:
+    b = add_text_sha(b, text_col)
+    if b.num_rows == 0:
+        return b.append_column("part", pa.array([], pa.int32()))
+    return b.append_column(
+        "part", pa.array(_stable_part(b, ["text_sha"], n_parts)))
+
+
+def build_fingerprint_index(ds: rd.Dataset, out_dir: str,
+                            text_col: str = "text",
+                            n_parts: int = 32) -> str:
+    """Distinct text fingerprints, hash-partitioned under ``out_dir/part=N/``.
+    One pass + one coarse shuffle of (sha) strings — no payload moves."""
+
+    def hashed(b: pa.Table) -> pa.Table:
+        t = _add_sha_part(b, text_col, n_parts)
+        # batch-local dedupe first: the shuffle ships distinct shas per batch
+        g = t.select(["text_sha", "part"]).group_by(["text_sha", "part"])
+        return g.aggregate([])
+
+    def distinct(g: pa.Table) -> pa.Table:
+        return g.group_by(["text_sha", "part"]).aggregate([])
+
+    (ds.map_batches(hashed, batch_format="pyarrow")
+     .groupby("part").map_groups(distinct, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["part"]))
+    return out_dir
+
+
+def novel_against_index(ds: rd.Dataset, index_dir: str,
+                        text_col: str = "text",
+                        n_parts: int = 32) -> rd.Dataset:
+    """Rows of the increment whose text fingerprint is NOT in the index.
+    The index is probed in place: each reducer reads only its own part=N
+    fingerprint files (pruned local/shared-storage read, no index shuffle)."""
+
+    def probe(g: pa.Table) -> pa.Table:
+        part = g["part"][0].as_py()
+        paths = sorted(glob.glob(
+            os.path.join(index_dir, f"part={part}", "*.parquet")))
+        if paths:
+            known = pq.read_table(paths, columns=["text_sha"])["text_sha"]
+            keep = pc.invert(pc.is_in(g["text_sha"],
+                                      value_set=known.combine_chunks()))
+            g = g.filter(keep)
+        return g.drop_columns(["text_sha", "part"])
+
+    return (ds.map_batches(lambda b: _add_sha_part(b, text_col, n_parts),
+                           batch_format="pyarrow")
+            .groupby("part").map_groups(probe, batch_format="pyarrow"))

@@ -870,6 +870,68 @@ def _ensure_index(sf_dir) -> str:
     return idx_dir
 
 
+def _ensure_fp_index(sf_dir) -> str:
+    """Build-once cache of the persisted exact-dedup fingerprint index
+    (``functions/incremental.py``), keyed like ``_ensure_index``."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.incremental import build_fingerprint_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{_pq.read_metadata(src).num_rows}-{st.st_mtime_ns}-{st.st_size}"
+    tag = os.path.normpath(sf_dir).replace(os.sep, "_")
+    idx_dir = f"/tmp/graft_fpindex/{tag}-{fp}-v1"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_fingerprint_index(_docs(sf_dir, ["text"]), idx_dir)
+        with open(os.path.join(idx_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    return idx_dir
+
+
+def q_incremental_novel(sf_dir):
+    """Streaming-ingest dedup: a synthetic increment (even doc_ids keep their
+    corpus text = known dups; odd doc_ids get a deterministic novel suffix) is
+    filtered against the PERSISTED corpus fingerprint index — each reducer
+    reads only its own part=N fingerprint files; the corpus itself is never
+    re-shuffled or re-read per increment (``functions/incremental.py``)."""
+    from ..functions.incremental import novel_against_index
+
+    idx = _ensure_fp_index(sf_dir)
+
+    def increment(b: pa.Table) -> pa.Table:
+        did = b["doc_id"]
+        odd = pc.equal(pc.bit_wise_and(did, pa.scalar(1, pa.int64())),
+                       pa.scalar(1, pa.int64()))
+        suffix = pc.binary_join_element_wise(
+            pa.array(["-novel-"] * b.num_rows),
+            pc.cast(did, pa.string()), "")
+        t = pc.if_else(odd,
+                       pc.binary_join_element_wise(
+                           pc.fill_null(b["text"], ""), suffix, ""),
+                       b["text"])
+        return pa.table({"doc_id": did, "text": t})
+
+    inc = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        increment, batch_format="pyarrow")
+    return novel_against_index(inc, idx).select_columns(["doc_id"])
+
+
+SQL_INCREMENTAL_NOVEL = """
+WITH inc AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 1
+                      THEN COALESCE(text, '') || '-novel-'
+                           || CAST(doc_id AS VARCHAR)
+                      ELSE COALESCE(text, '') END AS t
+  FROM documents)
+SELECT doc_id FROM inc
+WHERE t NOT IN (SELECT COALESCE(text, '') FROM documents)
+"""
+
+
 def q_bm25_topk(sf_dir):
     """BM25 ranked retrieval (top-10) over the persisted index: pruned
     partition read, join-free scoring off the denormalized per-posting
@@ -3441,6 +3503,7 @@ QUERIES = {
     "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "incremental_novel": (q_incremental_novel, SQL_INCREMENTAL_NOVEL),
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),

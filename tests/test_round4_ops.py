@@ -275,6 +275,37 @@ def test_funnel_stages_match_naive():
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_novel_filters_known_texts(tmp_path):
+    from document_processor_ray.functions.incremental import (
+        build_fingerprint_index, novel_against_index)
+
+    corpus = rd.from_items([{"doc_id": i, "text": f"doc body {i % 7}"}
+                            for i in range(100)])  # 7 distinct texts
+    idx = build_fingerprint_index(corpus, str(tmp_path / "fp"), n_parts=8)
+
+    inc = rd.from_items(
+        [{"doc_id": 1000, "text": "doc body 3"},       # known -> dropped
+         {"doc_id": 1001, "text": "doc body 6"},       # known -> dropped
+         {"doc_id": 1002, "text": "completely new"},   # novel
+         {"doc_id": 1003, "text": ""}])                # novel (no empty in corpus)
+    got = sorted(r["doc_id"] for r in
+                 novel_against_index(inc, idx, n_parts=8).take_all())
+    assert got == [1002, 1003]
+
+    # appending the surviving increment's fingerprints makes a re-probe drop it
+    survivors = rd.from_items([{"doc_id": 1002, "text": "completely new"},
+                               {"doc_id": 1003, "text": ""}])
+    build_fingerprint_index(survivors, str(tmp_path / "fp"), n_parts=8)
+    again = novel_against_index(inc, idx, n_parts=8).take_all()
+    assert again == []
+
+
+# ---------------------------------------------------------------------------
 # LEFT lookup join
 # ---------------------------------------------------------------------------
 
