@@ -140,6 +140,30 @@ class LangId:
         return out
 
 
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Deflate-compressibility quality signal: ``ratio_ppm =
+    1e6 · len(zlib(text)) / len(text)`` (int64; 0 for empty docs). Highly
+    compressible text (low ratio) is boilerplate/repetitive machine junk —
+    the cheap single-pass cousin of the Gopher repetition stats, used the
+    same way as a pre-training filter. Per-row zlib is a C call on the blob
+    (GIL-released), the same inherent per-blob cost class as the media codec;
+    fixed ``level`` keeps the output deterministic across runs/machines."""
+    import zlib
+
+    ratios = []
+    for text in batch[text_col].to_pylist():
+        data = (text or "").encode("utf-8")
+        if not data:
+            ratios.append(0)
+            continue
+        comp = len(zlib.compress(data, level))
+        ratios.append(int(comp * 1_000_000 // len(data)))
+    return pa.table({c: batch[c] for c in batch.column_names
+                     if c != text_col} | {
+        "compress_ppm": pa.array(ratios, pa.int64())})
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 8,
                       window: int = 4) -> pa.Table:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram rolling hashes,

@@ -1143,6 +1143,17 @@ FROM sc
 """
 
 
+def q_compression_ratio(sf_dir):
+    """Deflate-compressibility per doc (int ppm) — the cheap repetition/junk
+    signal (low ratio = machine boilerplate). Rows-only: zlib output bytes
+    have no SQL counterpart; pytest pins the exact values against direct
+    zlib."""
+    from ..functions import textstats as ts
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.compression_ratio_batch, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.fingerprint_batch, batch_format="pyarrow"
@@ -3527,6 +3538,7 @@ QUERIES = {
     "quality": (q_quality, None),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, None),
+    "compression_ratio": (q_compression_ratio, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, None),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),

@@ -275,6 +275,29 @@ def test_funnel_stages_match_naive():
 
 
 # ---------------------------------------------------------------------------
+# Compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_matches_zlib():
+    import zlib
+
+    from document_processor_ray.functions.textstats import (
+        compression_ratio_batch)
+
+    docs = {1: "abc " * 500, 2: "", 3: "xq9! zr7# kd2%", 4: None}
+    b = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    got = {r["doc_id"]: r["compress_ppm"]
+           for r in compression_ratio_batch(b).to_pylist()}
+    for i, t in docs.items():
+        data = (t or "").encode()
+        exp = 0 if not data else len(zlib.compress(data, 6)) * 10**6 // len(data)
+        assert got[i] == exp
+    # repetitive text compresses far better than the random-ish one
+    assert got[1] < got[3] / 5
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup against a persisted fingerprint index
 # ---------------------------------------------------------------------------
 
