@@ -79,13 +79,84 @@ def _count_partial(b: pa.Table, text_col: str) -> pa.Table:
     return pa.table({"key": pa.concat_arrays(keys), "n": pa.concat_arrays(ns)})
 
 
+def _score_broadcast(ds: rd.Dataset, counts: rd.Dataset, id_col: str,
+                     text_col: str) -> rd.Dataset:
+    """Bounded-vocabulary fast path: the (gram, layer, c) table is shipped to
+    workers once via ``ray.put`` and every batch scores itself — per-doc sums
+    are computed INSIDE the batch (a doc's tokens live in one input row), so
+    scoring is a single shuffle-free pass with no joins and no final
+    groupby."""
+    import ray
+
+    tbl = pa.concat_tables(list(counts.iter_batches(batch_format="pyarrow")))
+    lm_ref = ray.put((tbl["gram"].combine_chunks(),
+                      tbl["layer"].combine_chunks(),
+                      tbl["c"].to_numpy(zero_copy_only=False)))
+
+    def score(b: pa.Table) -> pa.Table:
+        grams, layers, cvals = ray.get(lm_ref)
+        flat, par = _tokens(b, text_col)
+        ids = _arr(b[id_col])
+        n_rows = b.num_rows
+        empty = pa.table({id_col: pa.array([], ids.type),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "ll_e9": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        p = par.to_numpy(zero_copy_only=False)
+        same = np.flatnonzero(p[:-1] == p[1:])
+        if not len(same):
+            return empty
+        left = flat.take(pa.array(same))
+        right = flat.take(pa.array(same + 1))
+        body = pc.binary_join_element_wise(left, right, " ")
+        akey = pc.binary_join_element_wise(
+            pa.array(["u:"] * len(same)), left, "")
+        bkey = pc.binary_join_element_wise(
+            pa.array(["b:"] * len(same)), body, "")
+        # dictionary probe: index_in against the broadcast gram+layer key
+        # (prefix-tagged exactly like the count table rows). The LM is
+        # self-trained on this corpus, so every probe MUST hit — a null
+        # index is an internal invariant violation, not data.
+        tagged = pc.binary_join_element_wise(layers, grams, ":")
+        ia = pc.index_in(akey, value_set=tagged)
+        ib = pc.index_in(bkey, value_set=tagged)
+        if ia.null_count or ib.null_count:
+            raise AssertionError("lm broadcast probe missed a self-trained gram")
+        ca = cvals[ia.to_numpy(zero_copy_only=False)]
+        cab = cvals[ib.to_numpy(zero_copy_only=False)]
+        # fixed IEEE op order — identical to the join path and the SQL mirror
+        q = np.floor(np.log(cab.astype(np.float64) / ca.astype(np.float64))
+                     * 1e9 + 0.5).astype(np.int64)
+        rows = p[same]
+        n_big = np.bincount(rows, minlength=n_rows)
+        ll = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(ll, rows, q)
+        keep = np.flatnonzero(n_big > 0)
+        return pa.table({
+            id_col: ids.take(pa.array(keep)),
+            "n_bigrams": pa.array(n_big[keep].astype(np.int64)),
+            "ll_e9": pa.array(ll[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def lm_bigram_score(ds: rd.Dataset, id_col: str = "doc_id",
-                    text_col: str = "text", n_parts: int = 64) -> rd.Dataset:
+                    text_col: str = "text", n_parts: int = 64,
+                    broadcast_limit: int = 2_000_000) -> rd.Dataset:
     """Per-document corpus-bigram-LM log-likelihood:
     ``(id_col, n_bigrams, ll_e9)`` where ``ll_e9`` is the int64 sum of
     nano-quantized per-position ``ln(c_ab / c_a)`` contributions (≤ 0; lower
     per-bigram means less corpus-typical text). Docs with < 2 tokens are
-    absent (no bigram positions), mirroring SQL GROUP BY over the pair rows."""
+    absent (no bigram positions), mirroring SQL GROUP BY over the pair rows.
+
+    Guarded hybrid (the ``embedding_dup_pairs`` pattern): when the count
+    table holds ≤ ``broadcast_limit`` keys, the LM is broadcast once via
+    ``ray.put`` and scoring is ONE stateless shuffle-free pass (per-doc sums
+    computed inside the batch — a doc's tokens live in one row). Above the
+    bound — open web vocabulary — the co-partitioned ``lookup_join`` path
+    runs instead: the vocabulary never lands on the driver or any single
+    node. Both paths produce identical rows (pytest-pinned)."""
     counts = (ds.map_batches(lambda b: _count_partial(b, text_col),
                              batch_format="pyarrow")
               .groupby("key").aggregate(Sum("n", alias_name="c")))
@@ -97,6 +168,9 @@ def lm_bigram_score(ds: rd.Dataset, id_col: str = "doc_id",
 
     counts = counts.map_batches(split_counts, batch_format="pyarrow") \
                    .materialize()
+
+    if counts.count() <= broadcast_limit:
+        return _score_broadcast(ds, counts, id_col, text_col)
 
     def layer(tag: str):
         def f(b: pa.Table) -> pa.Table:

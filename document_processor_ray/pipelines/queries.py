@@ -56,6 +56,17 @@ def _t(sf_dir, name, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _docs_wide(sf_dir, columns=None, n_blocks=32):
+    """``documents`` re-blocked for token-heavy passes: the sf tables are
+    single-row-group parquet files, so the read yields ONE block and a heavy
+    tokenize map_batches runs as ONE task (measured: the lm_doc_score counts
+    pass serialized at 7.8 s; 32 cores idle). At real corpus scale the read
+    is naturally thousands of blocks and this repartition would be an
+    unnecessary exchange — it exists for the benchmark data shape (a ~15 MB
+    shuffle, trivial). Results are partitioning-invariant by construction."""
+    return _docs(sf_dir, columns).repartition(n_blocks)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (SQL-checked)
 # ---------------------------------------------------------------------------
@@ -365,7 +376,7 @@ def q_pmi_bigrams(sf_dir):
              for a in out_n])})
 
     counted = _cast_int64(
-        (_docs(sf_dir, ["text"])
+        (_docs_wide(sf_dir, ["text"])
          .map_batches(partial, batch_format="pyarrow")
          .groupby("key").aggregate(Sum("n", alias_name="n"))),
         ["n"]).materialize()
@@ -467,7 +478,7 @@ def q_lm_doc_score(sf_dir):
     before the order-free int64 sum (``functions/lm.py``)."""
     from ..functions.lm import lm_bigram_score
 
-    return lm_bigram_score(_docs(sf_dir, ["doc_id", "text"]))
+    return lm_bigram_score(_docs_wide(sf_dir, ["doc_id", "text"]))
 
 
 SQL_LM_DOC_SCORE = """
@@ -506,7 +517,7 @@ def q_ccnet_tiers(sf_dir):
     from the corpus percentiles."""
     from ..functions.lm import lm_bigram_score
 
-    scored = lm_bigram_score(_docs(sf_dir, ["doc_id", "text"])).materialize()
+    scored = lm_bigram_score(_docs_wide(sf_dir, ["doc_id", "text"])).materialize()
 
     def avg(b: pa.Table) -> pa.Table:
         ll = b["ll_e9"].to_numpy(zero_copy_only=False).astype(np.float64)

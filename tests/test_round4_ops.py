@@ -274,6 +274,20 @@ def test_funnel_stages_match_naive():
     assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lm_broadcast_and_join_paths_identical():
+    from document_processor_ray.functions.lm import lm_bigram_score
+
+    items = [{"doc_id": i, "text": f"alpha beta {i % 5} gamma beta alpha"}
+             for i in range(60)]
+    fast = {r["doc_id"]: (r["n_bigrams"], r["ll_e9"]) for r in
+            lm_bigram_score(rd.from_items(items)).take_all()}
+    slow = {r["doc_id"]: (r["n_bigrams"], r["ll_e9"]) for r in
+            lm_bigram_score(rd.from_items(items),
+                            broadcast_limit=0).take_all()}
+    assert fast == slow and len(fast) == 60
+
+
 # ---------------------------------------------------------------------------
 # Compression-ratio quality signal
 # ---------------------------------------------------------------------------
