@@ -415,16 +415,6 @@ def q_pmi_bigrams(sf_dir):
 
     uni = counted.map_batches(unigrams, batch_format="pyarrow")
     big = counted.map_batches(bigrams, batch_format="pyarrow")
-    # explicit schemas: letting lookup_join probe them would re-execute the
-    # first join's whole shuffle just to see one block of the second's input
-    big_schema = pa.schema([("bigram", pa.string()), ("a", pa.string()),
-                            ("b", pa.string()), ("c_ab", pa.int64())])
-    uni_schema = pa.schema([("gram", pa.string()), ("c", pa.int64())])
-    big = lookup_join(big, uni, "a", "gram", "c", out_col="c_a",
-                      schema=big_schema, kv_schema=uni_schema)
-    big = lookup_join(big, uni, "b", "gram", "c", out_col="c_b",
-                      schema=big_schema.append(pa.field("c_a", pa.int64())),
-                      kv_schema=uni_schema)
 
     def pmi(b: pa.Table) -> pa.Table:
         cab = b["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -436,7 +426,43 @@ def q_pmi_bigrams(sf_dir):
         return pa.table({"bigram": b["bigram"], "c_ab": b["c_ab"],
                          "pmi_e9": pa.array(e9)})
 
-    return (big.map_batches(pmi, batch_format="pyarrow")
+    # bounded-vocab guard (the lm_doc_score broadcast pattern): two extra
+    # co-partition exchanges cost ~2-3 s each in fixed all-to-all latency —
+    # when the unigram table is small, ship it once via ray.put and attach
+    # c(a)/c(b) with an in-batch index_in probe (identical counts, identical
+    # floats; the join path below remains the open-vocabulary scale path)
+    if counted.count() <= 2_000_000:
+        utbl = pa.concat_tables(list(uni.iter_batches(batch_format="pyarrow")))
+        uref = ray.put((utbl["gram"].combine_chunks(),
+                        utbl["c"].to_numpy(zero_copy_only=False)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            grams, cvals = ray.get(uref)
+            ia = pc.index_in(b["a"], value_set=grams)
+            ib = pc.index_in(b["b"], value_set=grams)
+            if ia.null_count or ib.null_count:
+                raise AssertionError("pmi broadcast probe missed a gram")
+            b = b.append_column("c_a", pa.array(
+                cvals[ia.to_numpy(zero_copy_only=False)], pa.int64()))
+            return b.append_column("c_b", pa.array(
+                cvals[ib.to_numpy(zero_copy_only=False)], pa.int64()))
+
+        scored = big.map_batches(attach, batch_format="pyarrow")
+    else:
+        # explicit schemas: letting lookup_join probe them would re-execute
+        # the first join's whole shuffle just to see one block of the
+        # second's input
+        big_schema = pa.schema([("bigram", pa.string()), ("a", pa.string()),
+                                ("b", pa.string()), ("c_ab", pa.int64())])
+        uni_schema = pa.schema([("gram", pa.string()), ("c", pa.int64())])
+        scored = lookup_join(big, uni, "a", "gram", "c", out_col="c_a",
+                             schema=big_schema, kv_schema=uni_schema)
+        scored = lookup_join(scored, uni, "b", "gram", "c", out_col="c_b",
+                             schema=big_schema.append(
+                                 pa.field("c_a", pa.int64())),
+                             kv_schema=uni_schema)
+
+    return (scored.map_batches(pmi, batch_format="pyarrow")
             .sort(["pmi_e9", "bigram"], descending=[True, False]).limit(20))
 
 
