@@ -1506,6 +1506,39 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 
+def q_distinct_users_salted(sf_dir):
+    """The SKEW-SAFE variant of `distinct_users`: a salted two-stage exact
+    COUNT(DISTINCT). Stage 1 reduces at (event_type, salt) granularity with
+    salt = user_id % 16 — ONE pathological event_type spreads over 16
+    reducers instead of landing on one; because the salt is a function of the
+    counted key, per-salt user sets are disjoint and per-salt distinct counts
+    SUM exactly. Stage 2 is a bounded groupby over n_types × 16 count rows.
+    Same oracle as `distinct_users` — identical result, different (hot-key
+    -proof) physical plan."""
+    from ..core.groupops import grouped_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        salt = pc.cast(
+            pc.bit_wise_and(g["user_id"], pa.scalar(15, pa.int64())),
+            pa.int32())
+        return g.append_column("salt", salt)
+
+    pairs = _t(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["event_type", "salt"])["user_id"].nunique()
+               .reset_index(name="n"))
+        return agg[["event_type", "n"]]
+
+    counts = grouped_reduce(pairs, ["event_type", "salt"], count_part,
+                            n_parts=32)
+    return _cast_int64(
+        counts.groupby("event_type").aggregate(Sum("n", alias_name="n_users")),
+        ["n_users"])
+
+
 def q_top_orders(sf_dir):
     return (_t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
             .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
@@ -3586,6 +3619,7 @@ QUERIES = {
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "distinct_users_salted": (q_distinct_users_salted, SQL_DISTINCT_USERS),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
