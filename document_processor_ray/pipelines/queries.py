@@ -1445,6 +1445,47 @@ GROUP BY event_type, window_start
 """
 
 
+def q_user_window_counts(sf_dir):
+    """Stream enrichment: every event annotated with the number of events its
+    user produced in the same 1-hour bucket — the windowed-aggregate JOIN
+    shape (aggregate + attach) executed as ONE window pass instead of a
+    groupby + join: composite (user, bucket) key, one coarse shuffle, segment
+    length per row (``functions/analytic.py``). Bucket math is integer
+    microseconds // 3.6e9 on both engines."""
+    from ..functions import analytic as an
+
+    def add_key(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        wb = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        # composite window key: user in the high bits, hour bucket below
+        # (bucket < 2^20 for any us timestamp this side of year 5000‰ scale
+        # guard: 2^20 hours ≈ 120 years of buckets)
+        key = pc.add(pc.multiply(b["user_id"],
+                                 pa.scalar(1 << 20, pa.int64())),
+                     pc.bit_wise_and(wb, pa.scalar((1 << 20) - 1, pa.int64())))
+        return (b.append_column("wbucket", wb)
+                .append_column("__wk", key))
+
+    def mk(st, first, seg_start):
+        return {"n_in_window": pa.array(an.seg_length(first))}
+
+    ds = (_t(sf_dir, "events", ["event_id", "user_id", "ts"])
+          .map_batches(add_key, batch_format="pyarrow"))
+    return (an.windowed(ds, "__wk", ["event_id"], mk, n_parts=32)
+            .drop_columns(["__wk", "ts"]))
+
+
+SQL_USER_WINDOW_COUNTS = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS wbucket,
+       CAST(count(*) OVER (
+           PARTITION BY user_id,
+                        CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+            AS BIGINT) AS n_in_window
+FROM events
+"""
+
+
 def q_funnel_stages(sf_dir):
     """Ordered-funnel analysis (view → click → purchase) per user: greedy-
     minimal matching (step k+1 strictly after the earliest completion of step
@@ -3621,6 +3662,7 @@ QUERIES = {
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "distinct_users_salted": (q_distinct_users_salted, SQL_DISTINCT_USERS),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+    "user_window_counts": (q_user_window_counts, SQL_USER_WINDOW_COUNTS),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
