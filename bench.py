@@ -87,7 +87,8 @@ BENCH_QUERIES = [
     "semdedup_pairs", "lm_doc_score", "rebalance_sources", "length_outliers",
     "order_percent_rank", "funnel_stages", "ccnet_tiers", "doc_features_knn",
     "weighted_sample_orders", "approx_users_by_type", "customer_order_counts",
-    "incremental_novel", "source_top_docs",
+    "incremental_novel", "source_top_docs", "distinct_users_salted",
+    "user_window_counts", "compression_ratio",
 ]
 
 
