@@ -1547,6 +1547,56 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 
+def q_priority_revenue_share(sf_dir):
+    """Ratio-to-report: each order-priority class's share of total revenue in
+    ppm. Money is quantized to int64 cents per batch BEFORE any sum (floats
+    sum order-sensitively; ints don't), so the per-class partials, the grand
+    total, and the final integer-division share are all bit-exact across
+    engines and schedules. One bounded groupby; the total is derived from the
+    ≤5-row aggregate, never a second scan."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "cents": cents})
+        g = t.group_by(["o_orderpriority"]).aggregate([("cents", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "cents": g["cents_sum"]})
+
+    agg = _cast_int64(
+        (_t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("o_orderpriority").aggregate(Sum("cents",
+                                                   alias_name="cents"))),
+        ["cents"])
+
+    def share(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        total = int(c.sum())
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue_cents": b["cents"],
+            "share_ppm": pa.array(c * 1_000_000 // total, pa.int64())})
+
+    return agg.repartition(1).map_batches(share, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+SQL_PRIORITY_REVENUE_SHARE = """
+WITH a AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, revenue_cents,
+       CAST(revenue_cents * 1000000
+            // CAST((SELECT sum(revenue_cents) FROM a) AS BIGINT) AS BIGINT)
+           AS share_ppm
+FROM a
+"""
+
+
 def q_distinct_users_salted(sf_dir):
     """The SKEW-SAFE variant of `distinct_users`: a salted two-stage exact
     COUNT(DISTINCT). Stage 1 reduces at (event_type, salt) granularity with
@@ -3661,6 +3711,8 @@ QUERIES = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "distinct_users_salted": (q_distinct_users_salted, SQL_DISTINCT_USERS),
+    "priority_revenue_share": (q_priority_revenue_share,
+                               SQL_PRIORITY_REVENUE_SHARE),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "user_window_counts": (q_user_window_counts, SQL_USER_WINDOW_COUNTS),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
