@@ -1597,6 +1597,65 @@ FROM a
 """
 
 
+def q_price_zscore(sf_dir):
+    """Feature normalization: per-row z-score of the order price (ppm-
+    quantized int64). Global mean/std come from EXACT integer sufficient
+    statistics (count + cent sums + squared-cent sums — the price_qty_corr
+    pattern), so the per-row value is one fixed IEEE expression over three
+    ints and a cents value: bit-identical across engines and schedules. Two
+    streamed passes; the stats aggregate is 3 numbers."""
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        # whole DOLLARS, not cents: z-scores are scale-invariant and the
+        # squared-cents sum overflows int64 at sf0.01 already (measured
+        # 1.25e19); dollar squares keep ~600x headroom at sf1
+        # round_mode matches SQL round(): half AWAY from zero (Arrow's
+        # default is banker's rounding — measured 68 half-dollar divergences)
+        c = pc.cast(pc.round(b["o_totalprice"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "s": pa.array([int(c.sum())], pa.int64()),
+                         "s2": pa.array([int((c * c).sum())], pa.int64())})
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+          .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                     Sum("s2", alias_name="s2")))
+    n, s, s2 = int(st["n"]), int(st["s"]), int(st["s2"])
+
+    def z(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(b["o_totalprice"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        # fixed IEEE op order, mirrored token-for-token in SQL_PRICE_ZSCORE
+        mean = float(s) / float(n)
+        std = np.sqrt((float(s2) - float(s) * float(s) / float(n)) / float(n))
+        zv = np.floor((c.astype(np.float64) - mean) / std * 1e6 + 0.5)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "z_ppm": pa.array(zv.astype(np.int64))})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+SQL_PRICE_ZSCORE = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice) AS BIGINT) AS cents
+           FROM orders),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s,
+              CAST(sum(cents * cents) AS BIGINT) AS s2 FROM c)
+SELECT o_orderkey,
+       CAST(floor((CAST(cents AS DOUBLE)
+                   - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt((CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                  * 1.0e6 + 0.5e0) AS BIGINT) AS z_ppm
+FROM c CROSS JOIN st
+"""
+
+
 def q_distinct_users_salted(sf_dir):
     """The SKEW-SAFE variant of `distinct_users`: a salted two-stage exact
     COUNT(DISTINCT). Stage 1 reduces at (event_type, salt) granularity with
@@ -3713,6 +3772,7 @@ QUERIES = {
     "distinct_users_salted": (q_distinct_users_salted, SQL_DISTINCT_USERS),
     "priority_revenue_share": (q_priority_revenue_share,
                                SQL_PRIORITY_REVENUE_SHARE),
+    "price_zscore": (q_price_zscore, SQL_PRICE_ZSCORE),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "user_window_counts": (q_user_window_counts, SQL_USER_WINDOW_COUNTS),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
