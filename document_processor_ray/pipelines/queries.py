@@ -1445,6 +1445,67 @@ GROUP BY event_type, window_start
 """
 
 
+def q_user_cohorts(sf_dir):
+    """Cohort / retention matrix: distinct active users per (first-seen week,
+    active week). ONE co-partition on the user key does all the per-user
+    work vectorized (single lexsort per bucket: distinct weeks by
+    first-occurrence mask, cohort = week at the user's first sorted row),
+    emitting one (cohort, week, 1) row per user-week — so the final exchange
+    is a bounded groupby-SUM over weeks² cells, never user-sized. Week math
+    is integer microseconds // 604800e6 on both engines."""
+    from ..core.groupops import grouped_reduce
+
+    WEEK_US = 604_800_000_000
+
+    def to_weeks(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({"user_id": b["user_id"],
+                         "week": pc.divide(us, pa.scalar(WEEK_US, pa.int64()))})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = t["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        su, sw = u[order], w[order]
+        n = len(su)
+        if n == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        first_u = np.empty(n, dtype=bool)
+        first_u[0] = True
+        first_u[1:] = su[1:] != su[:-1]
+        # distinct (user, week): first occurrence in the sorted stream
+        first_pair = first_u.copy()
+        first_pair[1:] |= sw[1:] != sw[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(first_u, idx, 0))
+        cohort = sw[seg_start]  # weeks ascend within a user ⇒ first = min
+        keep = np.flatnonzero(first_pair)
+        return pa.table({"cohort": pa.array(cohort[keep]),
+                         "week": pa.array(sw[keep]),
+                         "n": pa.array(np.ones(len(keep), np.int64))})
+
+    cells = grouped_reduce(
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(to_weeks, batch_format="pyarrow"),
+        ["user_id"], per_user, n_parts=32, batch_format="pyarrow")
+    return _cast_int64(
+        cells.groupby(["cohort", "week"]).aggregate(Sum("n",
+                                                        alias_name="n_users")),
+        ["n_users"])
+
+
+SQL_USER_COHORTS = """
+WITH w AS (SELECT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week
+           FROM events),
+f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+SELECT f.cohort, w.week, CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id) GROUP BY f.cohort, w.week
+"""
+
+
 def q_user_window_counts(sf_dir):
     """Stream enrichment: every event annotated with the number of events its
     user produced in the same 1-hour bucket — the windowed-aggregate JOIN
@@ -3775,6 +3836,7 @@ QUERIES = {
     "price_zscore": (q_price_zscore, SQL_PRICE_ZSCORE),
     "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
     "user_window_counts": (q_user_window_counts, SQL_USER_WINDOW_COUNTS),
+    "user_cohorts": (q_user_cohorts, SQL_USER_COHORTS),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
