@@ -222,6 +222,62 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
     return int(round(merged.estimate()))
 
 
+def approx_quantiles_by(ds: rd.Dataset, group_col: str, col: str,
+                        qs: list[float], k: int = 200,
+                        n_parts: int = 32) -> rd.Dataset:
+    """GROUPED KLL quantiles: ``(group_col, q, value)`` — the sketch path for
+    percentile-per-group on unbounded/float domains (the exact grouped
+    order-statistic path sorts each group; this ships one ~k-float summary
+    per (batch, group) and merges under ONE coarse co-partition)."""
+    from ..core.groupops import grouped_reduce
+
+    def _segments(gv: np.ndarray):
+        order = np.argsort(gv, kind="stable")
+        so = gv[order]
+        if not len(so):
+            return order, np.array([0], dtype=np.int64)
+        first = np.empty(len(so), dtype=bool)
+        first[0] = True
+        first[1:] = so[1:] != so[:-1]
+        return order, np.append(np.flatnonzero(first), len(so))
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        gv = b[group_col].to_numpy(zero_copy_only=False)
+        vv = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order, bounds = _segments(gv)
+        groups, sketches = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            sk = KLL(k)
+            sk.add(vv[sel])
+            groups.append(gv[sel[0]])
+            sketches.append(sk.to_bytes())
+        return pa.table({group_col: pa.array(groups, b[group_col].type),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        gv = t[group_col].to_numpy(zero_copy_only=False)
+        sk = t["sketch"].to_pylist()
+        order, bounds = _segments(gv)
+        groups, qouts, vals = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sel = order[s:e]
+            m = KLL.from_bytes(sk[sel[0]])
+            for i in sel[1:]:
+                m.merge(KLL.from_bytes(sk[i]))
+            for q in qs:
+                groups.append(gv[sel[0]])
+                qouts.append(q)
+                vals.append(float(m.quantile(q)))
+        return pa.table({group_col: pa.array(groups, t[group_col].type),
+                         "q": pa.array(qouts, pa.float64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    return grouped_reduce(sketched, [group_col], merge_part, n_parts=n_parts,
+                          batch_format="pyarrow")
+
+
 def approx_distinct_by(ds: rd.Dataset, group_col: str, col: str,
                        p: int = 10, n_parts: int = 32) -> rd.Dataset:
     """GROUPED HLL count-distinct: ``(group_col, approx_distinct)`` — the

@@ -3751,6 +3751,19 @@ def q_approx_distinct_users(sf_dir):
                      "estimate": pa.array([est], pa.int64())})
 
 
+def q_price_p90_by_priority_kll(sf_dir):
+    """GROUPED KLL quantile sketch: p50/p90 order price per priority class —
+    the sketch path for percentile-per-group on unbounded/float domains
+    (one ~200-float summary per (batch, group) instead of sorting each
+    group). Rows-only: rank-error tolerance is pytest-pinned vs exact
+    np.quantile."""
+    from ..functions.sketch import approx_quantiles_by
+
+    return approx_quantiles_by(
+        _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice", qs=[0.5, 0.9])
+
+
 def q_approx_users_by_type(sf_dir):
     """GROUPED HLL count-distinct: approx distinct users per event type — the
     sketch path for COUNT(DISTINCT) GROUP BY at 100 TB (ships one 1 KiB
@@ -3844,6 +3857,7 @@ QUERIES = {
     "html_strip_stats": (q_html_strip_stats, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_by_type": (q_approx_users_by_type, None),
+    "price_p90_by_priority_kll": (q_price_p90_by_priority_kll, None),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),

@@ -373,6 +373,25 @@ def test_lookup_join_left_keeps_unmatched():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_by_group_tolerance():
+    from document_processor_ray.functions.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(7)
+    rows, truth = [], {}
+    for g, (mu, n) in {"a": (100.0, 4000), "b": (500.0, 2500)}.items():
+        vals = rng.normal(mu, mu / 5, size=n)
+        truth[g] = {0.5: np.quantile(vals, 0.5), 0.9: np.quantile(vals, 0.9)}
+        rows += [{"g": g, "v": float(v)} for v in vals]
+    ds = rd.from_items(rows).repartition(5)
+    got = {(r["g"], r["q"]): r["value"] for r in
+           approx_quantiles_by(ds, "g", "v", qs=[0.5, 0.9]).take_all()}
+    for g, tq in truth.items():
+        for q, exact in tq.items():
+            # KLL rank error ~O(1/k); translate to value via a loose band
+            assert abs(got[(g, q)] - exact) / abs(exact) < 0.05, (g, q)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_approx_distinct_by_group_tolerance():
     from document_processor_ray.functions.sketch import approx_distinct_by
 
