@@ -88,7 +88,8 @@ BENCH_QUERIES = [
     "order_percent_rank", "funnel_stages", "ccnet_tiers", "doc_features_knn",
     "weighted_sample_orders", "approx_users_by_type", "customer_order_counts",
     "incremental_novel", "source_top_docs", "distinct_users_salted",
-    "user_window_counts", "compression_ratio",
+    "user_window_counts", "compression_ratio", "price_zscore",
+    "priority_revenue_share", "user_cohorts", "price_p90_by_priority_kll",
 ]
 
 
