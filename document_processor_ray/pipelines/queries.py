@@ -3798,6 +3798,98 @@ def q_extract_metrics(sf_dir):
     return out.map_batches(flatten, batch_format="pyarrow")
 
 
+def _keep_latest_order(t: pa.Table) -> pa.Table:
+    """Per o_custkey keep the row with max (o_orderdate, o_orderkey):
+    one lexsort + last-of-run mask, no per-key Python."""
+    if t.num_rows == 0:
+        return t
+    ck = t["o_custkey"].combine_chunks().to_numpy()
+    od = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy()
+    ok = t["o_orderkey"].combine_chunks().to_numpy()
+    order = np.lexsort((ok, od, ck))
+    cks = ck[order]
+    last = np.empty(len(cks), dtype=bool)
+    last[:-1] = cks[1:] != cks[:-1]
+    last[-1] = True
+    return t.take(pa.array(order[last], pa.int64()))
+
+
+def q_latest_order_per_customer(sf_dir):
+    """Latest-record-per-key compaction (CDC / changelog keep-newest dedup;
+    SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC) = 1``).
+    Scale shape: the argmax is ASSOCIATIVE, so every batch first collapses to
+    at most one row per key inside ``map_batches`` — the single coarse
+    exchange (``core/groupops.grouped_reduce``) then carries <= one row per
+    (key, upstream batch), never the fact table. Deterministic tie-break =
+    max o_orderkey among equal dates."""
+    from ..core.groupops import grouped_reduce
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    partial = ds.map_batches(_keep_latest_order, batch_format="pyarrow")
+    return grouped_reduce(partial, ["o_custkey"], _keep_latest_order,
+                          n_parts=32, batch_format="pyarrow")
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def _mode_reduce(t: pa.Table) -> pa.Table:
+    """Per user_id: event_type with the highest summed count (ties -> smallest
+    event_type). Codes via sorted-unique + searchsorted so the tie-break is
+    lexicographic; single lexsort + last-of-run mask."""
+    g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+    u = g["user_id"].combine_chunks().to_numpy()
+    n = g["n_sum"].combine_chunks().to_numpy()
+    et = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    vals = np.unique(et)
+    codes = np.searchsorted(vals, et)
+    order = np.lexsort((-codes, n, u))
+    us = u[order]
+    last = np.empty(len(us), dtype=bool)
+    last[:-1] = us[1:] != us[:-1]
+    last[-1] = True
+    idx = order[last]
+    return pa.table({"user_id": pa.array(u[idx], pa.int64()),
+                     "event_type": pa.array(et[idx], pa.string()),
+                     "n": pa.array(n[idx], pa.int64())})
+
+
+def q_user_top_event(sf_dir):
+    """Grouped MODE: each user's most frequent event type (count, with the
+    deterministic tie-break count DESC, event_type ASC). Scale shape: per-batch
+    Arrow ``group_by`` collapses rows to (user, type, count) partials BEFORE
+    the exchange, so the single coarse co-partition on user_id ships counts,
+    never events; the per-partition argmax is one vectorized lexsort over all
+    keys of the partition (``core/groupops.grouped_reduce``, no per-user
+    groups)."""
+    from ..core.groupops import grouped_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_reduce(counts, ["user_id"], _mode_reduce,
+                          n_parts=32, batch_format="pyarrow")
+
+
+SQL_USER_TOP_EVENT = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3912,4 +4004,7 @@ QUERIES = {
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "media_decode_stats": (q_media_decode_stats, None),
     "frame_sample": (q_frame_sample, None),
+    "latest_order_per_customer": (q_latest_order_per_customer,
+                                  SQL_LATEST_ORDER_PER_CUSTOMER),
+    "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
 }

@@ -407,3 +407,60 @@ def test_approx_distinct_by_group_tolerance():
     assert set(got) == set(true)
     for g, n in true.items():
         assert abs(got[g] - n) / n < 0.12, (g, n, got[g])
+
+
+# ---------------------------------------------------------------------------
+# latest-record-per-key compaction + grouped mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_order_per_customer_matches_naive(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame({
+        "o_custkey": rng.integers(0, 300, n),
+        "o_orderkey": rng.permutation(n),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 400, n), unit="D"),
+    })
+    # force date ties inside some keys so the o_orderkey tie-break matters
+    df.loc[: n // 4, "o_orderdate"] = pd.Timestamp("1996-06-01")
+    df.to_parquet(tmp_path / "orders.parquet")
+
+    from document_processor_ray.pipelines.queries import q_latest_order_per_customer
+
+    got = (q_latest_order_per_customer(str(tmp_path)).to_pandas()
+           .sort_values("o_custkey").reset_index(drop=True))
+    want = (df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+            .groupby("o_custkey", as_index=False).last()
+            [["o_custkey", "o_orderkey", "o_orderdate"]]
+            .sort_values("o_custkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_user_top_event_matches_naive(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 200, n),
+        "event_type": rng.choice(["click", "view", "buy", "add"], n),
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+
+    from document_processor_ray.pipelines.queries import q_user_top_event
+
+    got = (q_user_top_event(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    counts = (df.groupby(["user_id", "event_type"]).size()
+              .rename("n").reset_index())
+    counts = counts.sort_values(["user_id", "n", "event_type"],
+                                ascending=[True, False, True])
+    want = (counts.groupby("user_id", as_index=False).first()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
