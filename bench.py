@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "incremental_novel", "source_top_docs", "distinct_users_salted",
     "user_window_counts", "compression_ratio", "price_zscore",
     "priority_revenue_share", "user_cohorts", "price_p90_by_priority_kll",
-    "latest_order_per_customer", "user_top_event",
+    "latest_order_per_customer", "user_top_event", "source_token_topk",
 ]
 
 

@@ -3890,6 +3890,78 @@ WHERE rn = 1
 """
 
 
+def _topk_per_source(t: pa.Table, k: int = 5) -> pa.Table:
+    """Keep the k largest-(n desc, tok asc) rows per source: one lexsort +
+    segment-rank mask over ALL sources in the partition (no per-group
+    Python). Sorted-unique token codes give the lexicographic tie-break."""
+    if t.num_rows == 0:
+        return t
+    src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+    n = t["n"].combine_chunks().to_numpy()
+    tok = t["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+    vals = np.unique(tok)
+    codes = np.searchsorted(vals, tok)
+    order = np.lexsort((codes, -n, src))
+    ss = src[order]
+    idx = np.arange(len(ss))
+    first = np.empty(len(ss), dtype=bool)
+    first[0] = True
+    first[1:] = ss[1:] != ss[:-1]
+    seg = np.maximum.accumulate(np.where(first, idx, 0))
+    return t.take(pa.array(order[idx - seg < k], pa.int64()))
+
+
+def q_source_token_topk(sf_dir):
+    """GROUPED heavy hitters: the 5 most frequent tokens per source
+    (count desc, token asc tie-break). Scale shape: (1) per-batch Arrow
+    tokenize + group_by emits (source, tok, count) partials, so the first
+    exchange ships counts, never token streams; (2) the exact sum
+    co-partitions on (source, tok) — the VOCABULARY hash, no hot source key —
+    and each partition prunes to its local per-source top-k (any global top-k
+    item survives partial pruning); (3) the final exchange sees <= k rows per
+    (source, partition)."""
+    from ..core.groupops import grouped_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _arr(b["text"])
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = _arr(pc.list_flatten(toks))
+        par = _arr(pc.list_parent_indices(toks))
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = _arr(b["source"]).take(par)
+        g = (pa.table({"source": src, "tok": flat})
+             .group_by(["source", "tok"]).aggregate([("tok", "count")]))
+        g = g.rename_columns(["source", "tok", "n"])
+        return g.set_column(2, "n", pc.cast(g["n"], pa.int64()))
+
+    def sum_and_prune(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "tok"]).aggregate([("n", "sum")])
+        return _topk_per_source(g.rename_columns(["source", "tok", "n"]))
+
+    counts = (_docs_wide(sf_dir, ["source", "text"])
+              .map_batches(partial, batch_format="pyarrow"))
+    summed = grouped_reduce(counts, ["source", "tok"], sum_and_prune,
+                            n_parts=64, batch_format="pyarrow")
+    return grouped_reduce(summed, ["source"], _topk_per_source,
+                          n_parts=4, batch_format="pyarrow")
+
+
+SQL_SOURCE_TOKEN_TOPK = """
+WITH t AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY source, tok)
+SELECT source, tok, n FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n DESC, tok ASC) <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4007,4 +4079,5 @@ QUERIES = {
     "latest_order_per_customer": (q_latest_order_per_customer,
                                   SQL_LATEST_ORDER_PER_CUSTOMER),
     "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
+    "source_token_topk": (q_source_token_topk, SQL_SOURCE_TOKEN_TOPK),
 }

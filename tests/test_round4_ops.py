@@ -464,3 +464,36 @@ def test_user_top_event_matches_naive(tmp_path):
     want = (counts.groupby("user_id", as_index=False).first()
             .sort_values("user_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_token_topk_matches_naive(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(300):
+        src = f"s{int(rng.integers(0, 4))}"
+        # zipf-ish skew so per-source top-5 differs between sources
+        probs = rng.dirichlet(np.ones(40) * (0.3 + int(src[1:])))
+        words = rng.choice(vocab, size=int(rng.integers(5, 60)), p=probs)
+        docs.append({"doc_id": i, "source": src, "text": " ".join(words)})
+    df = pd.DataFrame(docs)
+    df.to_parquet(tmp_path / "documents.parquet")
+
+    from document_processor_ray.pipelines.queries import q_source_token_topk
+
+    got = (q_source_token_topk(str(tmp_path)).to_pandas()
+           .sort_values(["source", "n", "tok"], ascending=[True, False, True])
+           .reset_index(drop=True))
+    rows = []
+    for _, r in df.iterrows():
+        rows += [{"source": r["source"], "tok": w} for w in r["text"].split()]
+    counts = (pd.DataFrame(rows).groupby(["source", "tok"]).size()
+              .rename("n").reset_index())
+    counts = counts.sort_values(["source", "n", "tok"],
+                                ascending=[True, False, True])
+    want = (counts.groupby("source", as_index=False).head(5)
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
