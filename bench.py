@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "user_window_counts", "compression_ratio", "price_zscore",
     "priority_revenue_share", "user_cohorts", "price_p90_by_priority_kll",
     "latest_order_per_customer", "user_top_event", "source_token_topk",
+    "weighted_median_qty",
 ]
 
 

@@ -3962,6 +3962,71 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY source
 """
 
 
+def q_weighted_median_qty(sf_dir):
+    """GROUPED WEIGHTED MEDIAN (weighted order statistic): per return flag,
+    the smallest quantity whose cumulative extended-price weight reaches half
+    the group's total. Exact at any scale for bounded domains: money quantizes
+    to int64 cents per batch BEFORE summing (order-free), per-batch Arrow
+    group_by collapses to (flag, qty, cents) partials, the single exchange is
+    the <= |flags|x|qty-domain| histogram, and the cumulative walk touches
+    <=150 rows. The integer comparison 2*cumsum >= total avoids any float
+    halving."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        t = pa.table({"flag": b["l_returnflag"],
+                      "qty": pc.cast(b["l_quantity"], pa.int64()),
+                      "cents": cents})
+        g = t.group_by(["flag", "qty"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["flag", "qty", "cents"])
+
+    hist = _cast_int64(
+        (_t(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                 "l_extendedprice"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["flag", "qty"]).aggregate(Sum("cents", alias_name="cents"))),
+        ["cents"])
+
+    def walk(b: pa.Table) -> pa.Table:
+        f = b["flag"].combine_chunks().to_numpy(zero_copy_only=False)
+        q = b["qty"].combine_chunks().to_numpy()
+        w = b["cents"].combine_chunks().to_numpy()
+        order = np.lexsort((q, f))
+        f, q, w = f[order], q[order], w[order]
+        first = np.empty(len(f), dtype=bool)
+        first[0] = True
+        first[1:] = f[1:] != f[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.maximum.accumulate(np.where(first, np.arange(len(f)), 0))
+        csum = np.cumsum(w)
+        cw = csum - np.concatenate(([0], csum))[seg]  # within-flag cumulative
+        tot = np.add.reduceat(w, starts)
+        tot_per_row = np.repeat(tot, np.diff(np.append(starts, len(f))))
+        ok = 2 * cw >= tot_per_row  # monotone within a segment (cw rises)
+        prev_ok = np.concatenate(([False], ok[:-1]))
+        sel = np.flatnonzero(ok & (first | ~prev_ok))
+        return pa.table({"flag": pa.array(f[sel], pa.string()),
+                         "wmedian_qty": pa.array(q[sel], pa.int64())})
+
+    return hist.repartition(1).map_batches(walk, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+SQL_WEIGHTED_MEDIAN_QTY = """
+WITH w AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, qty,
+         SUM(cents) OVER (PARTITION BY flag ORDER BY qty) AS cw,
+         SUM(cents) OVER (PARTITION BY flag) AS tot
+  FROM w)
+SELECT flag, min(qty) AS wmedian_qty FROM c WHERE 2 * cw >= tot GROUP BY flag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4080,4 +4145,5 @@ QUERIES = {
                                   SQL_LATEST_ORDER_PER_CUSTOMER),
     "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
     "source_token_topk": (q_source_token_topk, SQL_SOURCE_TOKEN_TOPK),
+    "weighted_median_qty": (q_weighted_median_qty, SQL_WEIGHTED_MEDIAN_QTY),
 }

@@ -497,3 +497,30 @@ def test_source_token_topk_matches_naive(tmp_path):
     want = (counts.groupby("source", as_index=False).head(5)
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_median_matches_naive(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(59)
+    n = 5000
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(1.0, 9000.0, n), 2),
+    })
+    df.to_parquet(tmp_path / "lineitem.parquet")
+
+    from document_processor_ray.pipelines.queries import q_weighted_median_qty
+
+    got = {r["flag"]: r["wmedian_qty"]
+           for r in q_weighted_median_qty(str(tmp_path)).take_all()}
+    for flag, grp in df.groupby("l_returnflag"):
+        w = np.round(grp["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        q = grp["l_quantity"].to_numpy().astype(np.int64)
+        order = np.argsort(q, kind="stable")
+        q, w = q[order], w[order]
+        cw = np.cumsum(w)
+        naive = q[np.flatnonzero(2 * cw >= cw[-1])[0]]
+        assert got[flag] == naive, flag
