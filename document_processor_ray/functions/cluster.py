@@ -149,7 +149,18 @@ def semdedup_pairs(ds: rd.Dataset, k: int = 10, threshold: float = 0.4,
     pre-split hot clusters upstream when the codebook is known-skewed.
 
     ``centroids=None`` uses the deterministic lowest-id seed codebook, making
-    the whole operator SQL-mirrorable (see ``SQL_SEMDEDUP_PAIRS``)."""
+    the whole operator SQL-mirrorable (see ``SQL_SEMDEDUP_PAIRS``).
+
+    Cross-engine boundary sensitivity (documented, accepted): BOTH the pair
+    inclusion test (``sim >= threshold``) and the argmax cluster tie-break
+    compare raw float64 cosines, so a vector whose similarity lands within a
+    few ULPs of the threshold (or equidistant from two centroids) can flip
+    membership between this engine and DuckDB's ``list_cosine_similarity``
+    if their summation orders differ. The gate corpora hash-check; for a
+    corpus with adversarially near-boundary values, nano-quantize the cosine
+    (the LM/bm25 ``round(sim * 1e9)`` pattern) on both engines before the
+    compare, at the cost of a documented deviation from the paper's exact
+    threshold semantics."""
     from ..core.groupops import grouped_reduce
 
     if centroids is None:

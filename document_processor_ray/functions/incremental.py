@@ -12,11 +12,17 @@ storage — index I/O per increment is proportional to the increment's
 partition coverage, and the corpus-sized index never moves through the object
 store. Append the surviving increment's fingerprints to keep the index
 current (idempotent per part).
+
+The partition count is a property of the INDEX, not the probe: build writes a
+``_MANIFEST.json`` recording ``n_parts`` and probes read it back, so a probe
+can never recompute partition ids with a mismatched modulus (which would
+silently report known duplicates as novel).
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pyarrow as pa
@@ -28,6 +34,8 @@ import ray.data as rd
 from ..core.groupops import _stable_part
 from .dedup import add_text_sha
 
+_MANIFEST = "_MANIFEST.json"
+
 
 def _add_sha_part(b: pa.Table, text_col: str, n_parts: int) -> pa.Table:
     b = add_text_sha(b, text_col)
@@ -37,11 +45,18 @@ def _add_sha_part(b: pa.Table, text_col: str, n_parts: int) -> pa.Table:
         "part", pa.array(_stable_part(b, ["text_sha"], n_parts)))
 
 
+def index_n_parts(index_dir: str) -> int:
+    """The partition modulus the index was BUILT with (from its manifest)."""
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        return int(json.load(f)["n_parts"])
+
+
 def build_fingerprint_index(ds: rd.Dataset, out_dir: str,
                             text_col: str = "text",
                             n_parts: int = 32) -> str:
     """Distinct text fingerprints, hash-partitioned under ``out_dir/part=N/``.
-    One pass + one coarse shuffle of (sha) strings — no payload moves."""
+    One pass + one coarse shuffle of (sha) strings — no payload moves.
+    Records ``n_parts`` in ``_MANIFEST.json`` for probes to read back."""
 
     def hashed(b: pa.Table) -> pa.Table:
         t = _add_sha_part(b, text_col, n_parts)
@@ -55,15 +70,20 @@ def build_fingerprint_index(ds: rd.Dataset, out_dir: str,
     (ds.map_batches(hashed, batch_format="pyarrow")
      .groupby("part").map_groups(distinct, batch_format="pyarrow")
      .write_parquet(out_dir, partition_cols=["part"]))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump({"n_parts": n_parts, "text_col": text_col}, f)
     return out_dir
 
 
 def novel_against_index(ds: rd.Dataset, index_dir: str,
-                        text_col: str = "text",
-                        n_parts: int = 32) -> rd.Dataset:
+                        text_col: str = "text") -> rd.Dataset:
     """Rows of the increment whose text fingerprint is NOT in the index.
     The index is probed in place: each reducer reads only its own part=N
-    fingerprint files (pruned local/shared-storage read, no index shuffle)."""
+    fingerprint files (pruned local/shared-storage read, no index shuffle).
+    The partition modulus comes from the index's own manifest — a probe
+    cannot disagree with the build about which part a sha lives in."""
+    n_parts = index_n_parts(index_dir)
 
     def probe(g: pa.Table) -> pa.Table:
         part = g["part"][0].as_py()

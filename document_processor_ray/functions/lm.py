@@ -205,7 +205,10 @@ def lm_bigram_score(ds: rd.Dataset, id_col: str = "doc_id",
                          "m": pc.cast(g["count_all"], pa.int64())})
 
     pairs = ds.map_batches(doc_partial, batch_format="pyarrow")
-    id_type = pa.int64()
+    # derive the id column's type from the input (string doc ids are legal);
+    # hard-coding int64 here broke the join path the moment the count table
+    # exceeded broadcast_limit on a string-keyed corpus
+    id_type = ds.schema().base_schema.field(id_col).type
     pair_schema = pa.schema([(id_col, id_type), ("a", pa.string()),
                              ("bigram", pa.string()), ("m", pa.int64())])
     kv_schema = pa.schema([("gram", pa.string()), ("c", pa.int64())])

@@ -918,7 +918,7 @@ def _ensure_fp_index(sf_dir) -> str:
     st = os.stat(src)
     fp = f"{_pq.read_metadata(src).num_rows}-{st.st_mtime_ns}-{st.st_size}"
     tag = os.path.normpath(sf_dir).replace(os.sep, "_")
-    idx_dir = f"/tmp/graft_fpindex/{tag}-{fp}-v1"
+    idx_dir = f"/tmp/graft_fpindex/{tag}-{fp}-v2"
     if not os.path.exists(os.path.join(idx_dir, "_DONE")):
         import shutil
 
@@ -1518,12 +1518,20 @@ def q_user_window_counts(sf_dir):
     def add_key(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64())
         wb = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
-        # composite window key: user in the high bits, hour bucket below
-        # (bucket < 2^20 for any us timestamp this side of year 5000‰ scale
-        # guard: 2^20 hours ≈ 120 years of buckets)
+        # composite window key: user in the high bits, hour bucket below.
+        # Fail LOUDLY outside the packable range (bucket >= 2^20 ≈ year 2089,
+        # user_id >= 2^43) instead of masking — silent aliasing would merge
+        # distinct windows and diverge from the SQL mirror.
+        if len(wb) and (pc.max(wb).as_py() >= 1 << 20
+                        or pc.min(wb).as_py() < 0
+                        or pc.max(b["user_id"]).as_py() >= 1 << 43
+                        or pc.min(b["user_id"]).as_py() < 0):
+            raise ValueError(
+                "user_window_counts: hour bucket or user_id outside the "
+                "int64-composite range (wb < 2^20, user_id < 2^43); use a "
+                "two-column window key for this data")
         key = pc.add(pc.multiply(b["user_id"],
-                                 pa.scalar(1 << 20, pa.int64())),
-                     pc.bit_wise_and(wb, pa.scalar((1 << 20) - 1, pa.int64())))
+                                 pa.scalar(1 << 20, pa.int64())), wb)
         return (b.append_column("wbucket", wb)
                 .append_column("__wk", key))
 
@@ -1633,12 +1641,16 @@ def q_priority_revenue_share(sf_dir):
         ["cents"])
 
     def share(b: pa.Table) -> pa.Table:
-        c = b["cents"].to_numpy(zero_copy_only=False)
-        total = int(c.sum())
+        # arbitrary-precision Python ints on the <=5-row aggregate: numpy
+        # int64 `c * 1_000_000` silently wraps once a class's cents exceed
+        # ~9.2e12 (~TPC-H sf2) while the SQL mirror raises on BIGINT overflow
+        c = [int(v) for v in b["cents"].to_pylist()]
+        total = sum(c)
         return pa.table({
             "o_orderpriority": b["o_orderpriority"],
             "revenue_cents": b["cents"],
-            "share_ppm": pa.array(c * 1_000_000 // total, pa.int64())})
+            "share_ppm": pa.array([v * 1_000_000 // total for v in c],
+                                  pa.int64())})
 
     return agg.repartition(1).map_batches(share, batch_format="pyarrow",
                                           batch_size=None)

@@ -288,6 +288,23 @@ def test_lm_broadcast_and_join_paths_identical():
     assert fast == slow and len(fast) == 60
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_lm_join_path_string_doc_ids():
+    # the open-vocabulary join path must derive the id dtype from the input
+    # (it used to hard-code int64, breaking string-keyed corpora)
+    from document_processor_ray.functions.lm import lm_bigram_score
+
+    items = [{"doc_id": f"d{i:03d}", "text": f"alpha beta {i % 5} gamma beta"}
+             for i in range(40)]
+    fast = {r["doc_id"]: (r["n_bigrams"], r["ll_e9"]) for r in
+            lm_bigram_score(rd.from_items(items)).take_all()}
+    slow = {r["doc_id"]: (r["n_bigrams"], r["ll_e9"]) for r in
+            lm_bigram_score(rd.from_items(items),
+                            broadcast_limit=0).take_all()}
+    assert fast == slow and len(fast) == 40
+    assert all(isinstance(k, str) for k in slow)
+
+
 # ---------------------------------------------------------------------------
 # Compression-ratio quality signal
 # ---------------------------------------------------------------------------
@@ -331,14 +348,14 @@ def test_incremental_novel_filters_known_texts(tmp_path):
          {"doc_id": 1002, "text": "completely new"},   # novel
          {"doc_id": 1003, "text": ""}])                # novel (no empty in corpus)
     got = sorted(r["doc_id"] for r in
-                 novel_against_index(inc, idx, n_parts=8).take_all())
+                 novel_against_index(inc, idx).take_all())
     assert got == [1002, 1003]
 
     # appending the surviving increment's fingerprints makes a re-probe drop it
     survivors = rd.from_items([{"doc_id": 1002, "text": "completely new"},
                                {"doc_id": 1003, "text": ""}])
     build_fingerprint_index(survivors, str(tmp_path / "fp"), n_parts=8)
-    again = novel_against_index(inc, idx, n_parts=8).take_all()
+    again = novel_against_index(inc, idx).take_all()
     assert again == []
 
 
