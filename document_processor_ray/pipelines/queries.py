@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import dedup as dd
 from ..functions import similarity as sim
+from ..functions import text_clean as tc_mod
 from ..functions import textstats as ts
 from ..functions.text_clean import GLYPH_PAT, WS_RUN_PAT, clean_text_arr
 from ..stages import window as win
@@ -3561,59 +3562,91 @@ def q_near_dedup_resolve(sf_dir):
 
 
 def q_html_strip_stats(sf_dir):
-    """Standalone HTML boilerplate-strip stage over the interleaved corpus:
-    per html doc, spans kept vs dropped by the anchor-density rule."""
-    from ..core.schema import MEDIA_KINDS
+    """The HTML boilerplate-strip kernels (SPEC §2: tag strip → ordered entity
+    decode → anchor-density drop rule), SQL-hash-checked by driving the REAL
+    vectorized RE2 kernels (`functions/text_clean.py`, the same code the parse
+    stage runs on html spans) over HTML built deterministically from the flat
+    documents table: each doc's text wrapped in a page skeleton plus an anchor
+    whose word count varies with doc_id, so the 2·(anchor words) ≥ total-words
+    drop rule fires both ways across the corpus. DuckDB mirrors the build
+    (string concat + repeat) and every rule term with the identical RE2
+    pattern strings; all outputs are integers."""
     from ..functions import text_clean as tc
-    from ..stages.sniff import _segment_any, list_offsets
-
-    corpus = _interleaved_corpus(sf_dir)
-    media_arr = pa.array(sorted(MEDIA_KINDS))
 
     def stats(b: pa.Table) -> pa.Table:
-        """Fully vectorized over the flattened span child: RE2 kernels for the
-        anchor/text-density rules, segment sums per doc (no per-row loops)."""
-        spans = b["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        values, offs = list_offsets(spans)
-        texts = values.field("text")
-        kinds = values.field("kind")
-        n_child = len(values)
-        if n_child == 0:
-            return pa.table({"doc_id": pa.array([], pa.string()),
-                             "n_kept": pa.array([], pa.int32()),
-                             "n_dropped": pa.array([], pa.int32())})
-        html_flags = tc.looks_like_html_arr(texts).to_numpy(zero_copy_only=False)
-        html_flags = np.where(np.equal(html_flags, None), False, html_flags).astype(bool)
-        doc_is_html = _segment_any(html_flags, offs)
-        is_media = pc.is_in(kinds, value_set=media_arr).to_numpy(zero_copy_only=False)
-        is_boiler = pc.equal(kinds, "boilerplate").to_numpy(zero_copy_only=False)
-        vis = tc.visible_text_arr(texts)
-        t = tc.word_count_arr(vis).to_numpy(zero_copy_only=False).astype(np.int64)
-        na = tc.word_count_arr(tc.visible_text_arr(tc.strip_anchors_arr(texts))) \
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n = len(ids)
+        reps = (1 + ids.to_numpy() % 120).astype(np.int32)
+        anchors = pc.binary_repeat(pa.array(["link "] * n), pa.array(reps))
+        html = pc.binary_join_element_wise(
+            pa.array(["<html><body><p>"] * n), t,
+            pa.array([" A&amp;B</p><a href=\"/x\">"] * n), anchors,
+            pa.array(["</a></body></html>"] * n), pa.scalar(""))
+        is_html = tc.looks_like_html_arr(html).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vis = tc.visible_text_arr(html)
+        tw = tc.word_count_arr(vis).to_numpy(zero_copy_only=False).astype(np.int64)
+        na = tc.word_count_arr(tc.visible_text_arr(tc.strip_anchors_arr(html))) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         clean_len = pc.utf8_length(tc.clean_text_arr(vis)).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        raw_len = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
-        drop_rule = ((t == 0) | (2 * (t - na) >= t)
-                     | ((t <= 2) & (5 * clean_len < raw_len)))
-        text_like = ~is_media & ~is_boiler
-        kept = (is_media | (text_like & ~drop_rule)).astype(np.int64)
-        dropped = (is_boiler | (text_like & drop_rule)).astype(np.int64)
-        ck = np.concatenate([[0], np.cumsum(kept)])
-        cd = np.concatenate([[0], np.cumsum(dropped)])
-        n_kept = (ck[offs[1:]] - ck[offs[:-1]]).astype(np.int32)
-        n_dropped = (cd[offs[1:]] - cd[offs[:-1]]).astype(np.int32)
-        sel = np.flatnonzero(doc_is_html)
-        doc_id = b["doc_id"]
-        if isinstance(doc_id, pa.ChunkedArray):
-            doc_id = doc_id.combine_chunks()
-        return pa.table({"doc_id": doc_id.take(pa.array(sel)),
-                         "n_kept": pa.array(n_kept[sel]),
-                         "n_dropped": pa.array(n_dropped[sel])})
+        raw_len = pc.utf8_length(html).to_numpy(zero_copy_only=False).astype(np.int64)
+        dropped = ((tw == 0) | (2 * (tw - na) >= tw)
+                   | ((tw <= 2) & (5 * clean_len < raw_len))).astype(np.int64)
+        return pa.table({"doc_id": ids,
+                         "is_html": pa.array(is_html),
+                         "n_words": pa.array(tw),
+                         "n_link_words": pa.array(tw - na),
+                         "clean_len": pa.array(clean_len),
+                         "dropped": pa.array(dropped)})
 
-    return corpus.map_batches(stats, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
+
+
+def _sql_entity_decode(expr: str) -> str:
+    """DuckDB mirror of text_clean._ENTITIES decode (order matters, &amp; last)."""
+    out = expr
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39)*2)}')"
+    return out
+
+
+SQL_HTML_STRIP_STATS = f"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body><p>' || text || ' A&amp;B</p><a href="/x">' ||
+         repeat('link ', CAST(1 + doc_id % 120 AS INT)) ||
+         '</a></body></html>' AS html
+  FROM documents),
+v AS (
+  SELECT doc_id, html,
+         {_sql_entity_decode(f"regexp_replace(html, '{tc_mod.TAG_PAT}', ' ', 'g')")} AS vis,
+         {_sql_entity_decode(
+             f"regexp_replace(regexp_replace(html, '{tc_mod.ANCHOR_PAT}', ' ', 'g'),"
+             f" '{tc_mod.TAG_PAT}', ' ', 'g')")} AS vis_na
+  FROM h),
+m AS (
+  SELECT doc_id,
+         CAST(regexp_matches(html, '{tc_mod.HTML_DETECT_PAT}') AS BIGINT) AS is_html,
+         CAST(array_length(regexp_extract_all(vis, '{tc_mod.WORD_PAT}')) AS BIGINT) AS t,
+         CAST(array_length(regexp_extract_all(vis_na, '{tc_mod.WORD_PAT}')) AS BIGINT) AS na,
+         CAST(length(trim(regexp_replace(regexp_replace(vis, '{GLYPH_PAT}', ' ', 'g'),
+                                         '{WS_RUN_PAT}', ' ', 'g'), {_TRIM_WS_SQL}))
+              AS BIGINT) AS clean_len,
+         CAST(length(html) AS BIGINT) AS raw_len
+  FROM v)
+SELECT doc_id, is_html, t AS n_words, t - na AS n_link_words, clean_len,
+       CAST((t = 0 OR 2*(t-na) >= t OR (t <= 2 AND 5*clean_len < raw_len))
+            AS BIGINT) AS dropped
+FROM m
+"""
 
 
 def q_jaccard_verify(sf_dir):
@@ -4141,7 +4174,7 @@ QUERIES = {
     "sessions": (q_sessions, SQL_SESSIONS),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "near_dedup_resolve": (q_near_dedup_resolve, SQL_NEAR_DEDUP_RESOLVE),
-    "html_strip_stats": (q_html_strip_stats, None),
+    "html_strip_stats": (q_html_strip_stats, SQL_HTML_STRIP_STATS),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_by_type": (q_approx_users_by_type, None),
     "price_p90_by_priority_kll": (q_price_p90_by_priority_kll, None),
