@@ -150,13 +150,19 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def _flat_token_hashes(texts: pa.Array | pa.ChunkedArray,
-                       cache: dict[str, int]) -> tuple[np.ndarray, np.ndarray]:
+                       cache: dict[str, int],
+                       hasher: str = "blake2b") -> tuple[np.ndarray, np.ndarray]:
     """Whitespace-tokenize a whole batch (one RE-free Arrow kernel, identical
-    semantics to Python ``str.split()``) and hash each token to u64 blake2b —
+    semantics to Python ``str.split()``) and hash each token to u64 —
     hashing each UNIQUE token once per batch (dictionary-encode) with a
     persistent cross-batch cache. Returns (flat doc-major token hashes,
     per-doc token counts). This replaces the per-token Python dict probe that
-    was the hottest dedup kernel."""
+    was the hottest dedup kernel.
+
+    ``hasher``: ``blake2b`` (default, the dedup/MinHash hash) or ``md5`` —
+    bytes 8..16 of the digest little-endian, bit-identical to DuckDB's
+    ``md5_number_lower``, which makes downstream consumers (the hashing-trick
+    featurizer) SQL-mirrorable."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
@@ -172,8 +178,13 @@ def _flat_token_hashes(texts: pa.Array | pa.ChunkedArray,
     for i, t in enumerate(uniq):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            if hasher == "md5":
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:],
+                                   "little")
+            else:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                    "little")
             if len(cache) < 1_000_000:
                 cache[t] = h
         uh[i] = h

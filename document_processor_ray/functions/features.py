@@ -29,13 +29,15 @@ class HashFeaturizer:
     batches)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
-                 dim: int = 64, out_col: str = "vec"):
+                 dim: int = 64, out_col: str = "vec", hasher: str = "blake2b"):
         self.id_col, self.text_col = id_col, text_col
         self.dim, self.out_col = dim, out_col
+        self.hasher = hasher  # "md5" = DuckDB md5_number_lower-compatible
         self._cache: dict[str, int] = {}
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        th, counts = _flat_token_hashes(b[self.text_col], self._cache)
+        th, counts = _flat_token_hashes(b[self.text_col], self._cache,
+                                        hasher=self.hasher)
         n = len(counts)
         rows = np.repeat(np.arange(n, dtype=np.int64), counts)
         bucket = (th % np.uint64(self.dim)).astype(np.int64)
@@ -49,9 +51,11 @@ class HashFeaturizer:
 
 def hash_features(ds: rd.Dataset, id_col: str = "doc_id",
                   text_col: str = "text", dim: int = 64,
+                  hasher: str = "blake2b",
                   concurrency: int | tuple[int, int] = (1, 4)) -> rd.Dataset:
     return ds.map_batches(HashFeaturizer, batch_format="pyarrow",
                           concurrency=concurrency,
                           fn_constructor_kwargs={"id_col": id_col,
                                                  "text_col": text_col,
-                                                 "dim": dim})
+                                                 "dim": dim,
+                                                 "hasher": hasher})

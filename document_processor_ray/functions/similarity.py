@@ -26,11 +26,19 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def knn_cosine(ds: rd.Dataset, queries: np.ndarray, query_ids: list, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               exclude_self: bool = True) -> rd.Dataset:
+               exclude_self: bool = True, int_exact: bool = False) -> rd.Dataset:
     """Exact top-k cosine neighbors for each query vector.
     Output: (query_id, neighbor_id, rank) — rank 1..k, ties broken by neighbor_id
-    (deterministic under any parallel schedule)."""
-    q = _normalize(np.asarray(queries, dtype=np.float64))
+    (deterministic under any parallel schedule).
+
+    ``int_exact``: for INTEGER-VALUED vectors (e.g. hashing-trick features),
+    compute cosine as exact-integer dot / (sqrt(exact) * sqrt(exact)) instead
+    of normalizing rows first — every partial sum is exactly representable, so
+    the similarity is bit-identical to an engine that sums in any other order
+    (the DuckDB mirror) and the ranking is cross-engine stable."""
+    q = np.asarray(queries, dtype=np.float64)
+    if not int_exact:
+        q = _normalize(q)
     qids = list(query_ids)
     ref = ray.put((q, qids))
 
@@ -38,8 +46,15 @@ def knn_cosine(ds: rd.Dataset, queries: np.ndarray, query_ids: list, k: int = 10
         from ..core.vecops import ids_and_matrix
 
         qm, qid = ray.get(ref)
-        ids, mat = ids_and_matrix(batch, id_col, vec_col)  # zero-copy flat child
-        sims = mat @ qm.T  # (n, Q)
+        ids, mat = ids_and_matrix(batch, id_col, vec_col,
+                                  normalize=not int_exact)  # zero-copy flat child
+        if int_exact:
+            num = mat @ qm.T  # exact: integer-valued operands
+            dn = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            qn = np.maximum(np.sqrt((qm * qm).sum(axis=1)), 1e-12)
+            sims = num / (dn[:, None] * qn[None, :])
+        else:
+            sims = mat @ qm.T  # (n, Q)
         out_q, out_n, out_s = [], [], []
         for c in range(sims.shape[1]):
             col = sims[:, c]

@@ -1312,13 +1312,19 @@ def q_doc_features_knn(sf_dir):
     actor-pool pass — ``functions/features.py``) and run exact cosine kNN for
     the 3 lowest-id docs over the hashed vectors: the embedding-free
     similarity-search composition (featurize → knn) for corpora with no
-    learned embeddings. Rows-only: blake2b bucket hashing has no SQL
-    counterpart; pytest pins the featurizer against a naive oracle."""
+    learned embeddings.
+
+    SQL-hash-checked end to end: the featurizer's md5 token hash is
+    bit-identical to DuckDB's ``md5_number_lower`` (bucket = h % dim, sign =
+    bit 63), the feature values are signed integer counts, and the knn runs
+    ``int_exact`` cosine (exact-integer dot / product of exact norms), so
+    every similarity is bit-identical across engines and the (query_id,
+    neighbor_id, rank) output needs no float in the hash."""
     from ..functions import similarity as sim
     from ..functions.features import hash_features
 
-    feats = hash_features(_docs(sf_dir, ["doc_id", "text"]), dim=64) \
-        .materialize()
+    feats = hash_features(_docs(sf_dir, ["doc_id", "text"]), dim=64,
+                          hasher="md5").materialize()
 
     def bottom(b: pa.Table) -> pa.Table:
         return b.take(pc.sort_indices(b["doc_id"])[:3])
@@ -1328,7 +1334,44 @@ def q_doc_features_knn(sf_dir):
     qvecs = np.array([r["vec"] for r in rows], dtype=np.float64)
     qids = [r["doc_id"] for r in rows]
     return sim.knn_cosine(feats, qvecs, qids, k=5, id_col="doc_id",
-                          vec_col="vec")
+                          vec_col="vec", int_exact=True)
+
+
+SQL_DOC_FEATURES_KNN = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+hv AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+feat AS (
+  SELECT doc_id, h % 64 AS bucket,
+         CAST(SUM(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END)
+              AS DOUBLE) AS v
+  FROM hv GROUP BY doc_id, bucket),
+nrm AS (SELECT doc_id, greatest(sqrt(SUM(v*v)), 1e-12) AS nv
+        FROM feat GROUP BY doc_id),
+q AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3),
+qf AS (SELECT f.* FROM feat f JOIN q USING (doc_id)),
+ipt AS (
+  SELECT qf.doc_id AS query_id, f.doc_id AS neighbor_id, SUM(qf.v * f.v) AS ip
+  FROM qf JOIN feat f ON qf.bucket = f.bucket
+  GROUP BY qf.doc_id, f.doc_id),
+scored AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS neighbor_id,
+         COALESCE(i.ip, 0.0) / (nq.nv * nn.nv) AS s
+  FROM q CROSS JOIN documents d
+  LEFT JOIN ipt i ON i.query_id = q.doc_id AND i.neighbor_id = d.doc_id
+  JOIN nrm nq ON nq.doc_id = q.doc_id
+  JOIN nrm nn ON nn.doc_id = d.doc_id
+  WHERE d.doc_id <> q.doc_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_kmeans_clusters(sf_dir):
@@ -4158,7 +4201,7 @@ QUERIES = {
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup_pairs": (q_semdedup_pairs, SQL_SEMDEDUP_PAIRS),
-    "doc_features_knn": (q_doc_features_knn, None),
+    "doc_features_knn": (q_doc_features_knn, SQL_DOC_FEATURES_KNN),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),

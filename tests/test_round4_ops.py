@@ -248,6 +248,27 @@ def test_hash_features_match_naive():
         assert np.allclose(got[i], exp), (i, got[i], exp)
 
 
+def test_md5_token_hash_matches_duckdb_md5_number_lower():
+    # the featurizer's hasher="md5" path must stay bit-identical to DuckDB's
+    # md5_number_lower (digest bytes 8..16, little-endian) — it's what makes
+    # doc_features_knn SQL-mirrorable
+    import hashlib
+
+    import duckdb
+
+    from document_processor_ray.functions.dedup import _flat_token_hashes
+
+    toks = ["hello", "wörld", "a", "", "link", "42", "naïve"]
+    text = " ".join(t for t in toks if t)
+    th, counts = _flat_token_hashes(pa.array([text]), {}, hasher="md5")
+    con = duckdb.connect()
+    for tok, got in zip([t for t in toks if t], th.tolist()):
+        want, = con.execute("SELECT md5_number_lower(?)", [tok]).fetchone()
+        assert got == want, (tok, got, want)
+        assert got == int.from_bytes(hashlib.md5(tok.encode()).digest()[8:],
+                                     "little")
+
+
 # ---------------------------------------------------------------------------
 # Funnel
 # ---------------------------------------------------------------------------
