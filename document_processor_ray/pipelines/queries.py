@@ -2179,32 +2179,32 @@ GROUP BY c_nationkey
 """
 
 
-def q_regional_volume(sf_dir):
+def q_regional_volume(sf_dir, broadcast_orders_max: int = 2_000_000):
     """TPC-H Q5-shaped multi-join chain (lineitem ⋈ orders ⋈ customer ⋈ nation
-    ⋈ region) rebuilt on TWO co-partitioned exchanges instead of five heavy
-    operators (3× hash Aggregate + 2× Dataset.join): each Ray 2.49
-    Aggregate/Join operator pays its own sort/actor-pool startup, and at
-    100 TB each extra exchange is another all-to-all pass over the fact data.
-    Stage A (one coarse shuffle on orderkey): per-batch lineitem partials and
-    the date-filtered orders co-partition via a tagged union; the partition fn
-    finishes the per-order reduction AND probes o_custkey — aggregation and
-    join fused into one pass, one row per 1996 order out. Stage B (one coarse
-    shuffle on custkey): those rows co-partition with customer (big at scale,
-    so co-partitioned, NOT broadcast); the partition fn probes c_nationkey and
-    pre-collapses to per-nation partials (≤25 rows/partition). Nation/region
-    stay broadcast probes; the final groupby touches ~n_parts×25 rows."""
-    from ..core.groupops import grouped_reduce
+    ⋈ region) as a guarded hybrid (the repo's standard shape — lm/pmi/dedup):
 
-    def li_partial(b: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
-        g = pa.table({"k": b["l_orderkey"], "qty": qty}).group_by("k").aggregate(
-            [("qty", "sum"), ("qty", "count")])
-        n = len(g)
-        return pa.table({"k": pc.cast(g["k"], pa.int64()),
-                         "qty": g["qty_sum"],
-                         "n": pc.cast(g["qty_count"], pa.int64()),
-                         "cust": pa.nulls(n, pa.int64()),
-                         "src": pa.array(["l"] * n)})
+    FAST PATH (date-filtered orders ≤ ``broadcast_orders_max``): the selective
+    1996 predicate makes the (orderkey → custkey) map a bounded side, so it is
+    probed once with ``limit(n+1)`` and broadcast via ``ray.put`` — lineitem
+    then streams through ONE map_batches that probes the map and
+    pre-aggregates per custkey, leaving a single co-partitioned exchange
+    (stage B below). Removes the full-fact all-to-all (the 604k-row stage-A
+    shuffle that made this the slowest settled line, ~11.5 s → ~2 s/exchange
+    floor).
+
+    SCALE PATH (filter not selective enough to broadcast): stage A
+    co-partitions per-batch lineitem partials with the filtered orders on
+    orderkey via a tagged union; the partition fn finishes the per-order
+    reduction AND probes o_custkey — aggregation and join fused into one
+    pass, one row per 1996 order out.
+
+    Either way, stage B (one coarse shuffle on custkey): per-custkey rows
+    co-partition with customer (big at scale, so co-partitioned, NOT
+    broadcast); the partition fn probes c_nationkey and pre-collapses to
+    per-nation partials (≤25 rows/partition). Nation/region stay broadcast
+    probes; the final groupby touches ~n_parts×25 rows. Both paths emit
+    identical integer sums (order-free), so the SQL hash is path-invariant."""
+    from ..core.groupops import grouped_reduce
 
     def in_1996(b: pa.Table) -> pa.Table:
         lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
@@ -2212,33 +2212,78 @@ def q_regional_volume(sf_dir):
         keep = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
                        pc.less(b["o_orderdate"], hi))
         b = b.filter(keep)
-        n = b.num_rows
         return pa.table({"k": pc.cast(b["o_orderkey"], pa.int64()),
-                         "qty": pa.nulls(n, pa.int64()),
-                         "n": pa.nulls(n, pa.int64()),
-                         "cust": pc.cast(b["o_custkey"], pa.int64()),
-                         "src": pa.array(["r"] * n)})
+                         "cust": pc.cast(b["o_custkey"], pa.int64())})
 
-    tagged_a = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-                .map_batches(li_partial, batch_format="pyarrow")
-                .union(_t(sf_dir, "orders",
-                          ["o_orderkey", "o_custkey", "o_orderdate"])
-                       .map_batches(in_1996, batch_format="pyarrow")))
+    orders_f = _t(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(in_1996, batch_format="pyarrow")
+    probe = orders_f.limit(broadcast_orders_max + 1).take_all()
 
-    def reduce_probe_order(t: pa.Table) -> pa.Table:
-        left = t.filter(pc.equal(t["src"], "l"))
-        right = t.filter(pc.equal(t["src"], "r"))
-        g = left.select(["k", "qty", "n"]).group_by("k").aggregate(
-            [("qty", "sum"), ("n", "sum")])
-        idx = pc.index_in(g["k"], value_set=right["k"].combine_chunks())
-        cust = right["cust"].combine_chunks().take(idx)
-        out = pa.table({"k": cust, "qty": g["qty_sum"], "n": g["n_sum"],
-                        "cust": pa.nulls(len(g), pa.int64()),
-                        "src": pa.array(["l"] * len(g))})
-        return out.filter(pc.is_valid(cust))
+    if len(probe) <= broadcast_orders_max:
+        # FAST PATH: broadcast the (orderkey → custkey) map once.
+        ok = np.fromiter((r["k"] for r in probe), dtype=np.int64, count=len(probe))
+        oc = np.fromiter((r["cust"] for r in probe), dtype=np.int64,
+                         count=len(probe))
+        ref = ray.put((pa.array(ok), oc))
 
-    per_order = grouped_reduce(tagged_a, ["k"], reduce_probe_order,
-                               batch_format="pyarrow")
+        def li_probe_partial(b: pa.Table) -> pa.Table:
+            keys, cust_np = ray.get(ref)
+            idx = pc.index_in(pc.cast(b["l_orderkey"], pa.int64()),
+                              value_set=keys)
+            m = pc.is_valid(idx)
+            qty = pc.cast(pc.round(b["l_quantity"]), pa.int64()).filter(m)
+            cust = pa.array(cust_np[idx.filter(m).to_numpy(zero_copy_only=False)])
+            g = pa.table({"k": cust, "qty": qty}).group_by("k").aggregate(
+                [("qty", "sum"), ("qty", "count")])
+            n = len(g)
+            return pa.table({"k": g["k"], "qty": g["qty_sum"],
+                             "n": pc.cast(g["qty_count"], pa.int64()),
+                             "cust": pa.nulls(n, pa.int64()),
+                             "src": pa.array(["l"] * n)})
+
+        per_order = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+            .map_batches(li_probe_partial, batch_format="pyarrow")
+    else:
+        # SCALE PATH: co-partition lineitem partials with filtered orders.
+        def li_partial(b: pa.Table) -> pa.Table:
+            qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+            g = pa.table({"k": b["l_orderkey"], "qty": qty}).group_by("k") \
+                .aggregate([("qty", "sum"), ("qty", "count")])
+            n = len(g)
+            return pa.table({"k": pc.cast(g["k"], pa.int64()),
+                             "qty": g["qty_sum"],
+                             "n": pc.cast(g["qty_count"], pa.int64()),
+                             "cust": pa.nulls(n, pa.int64()),
+                             "src": pa.array(["l"] * n)})
+
+        def tag_orders(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({"k": b["k"],
+                             "qty": pa.nulls(n, pa.int64()),
+                             "n": pa.nulls(n, pa.int64()),
+                             "cust": b["cust"],
+                             "src": pa.array(["r"] * n)})
+
+        tagged_a = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                    .map_batches(li_partial, batch_format="pyarrow")
+                    .union(orders_f.map_batches(tag_orders,
+                                                batch_format="pyarrow")))
+
+        def reduce_probe_order(t: pa.Table) -> pa.Table:
+            left = t.filter(pc.equal(t["src"], "l"))
+            right = t.filter(pc.equal(t["src"], "r"))
+            g = left.select(["k", "qty", "n"]).group_by("k").aggregate(
+                [("qty", "sum"), ("n", "sum")])
+            idx = pc.index_in(g["k"], value_set=right["k"].combine_chunks())
+            cust = right["cust"].combine_chunks().take(idx)
+            out = pa.table({"k": cust, "qty": g["qty_sum"], "n": g["n_sum"],
+                            "cust": pa.nulls(len(g), pa.int64()),
+                            "src": pa.array(["l"] * len(g))})
+            return out.filter(pc.is_valid(cust))
+
+        per_order = grouped_reduce(tagged_a, ["k"], reduce_probe_order,
+                                   batch_format="pyarrow")
 
     def tag_cust(b: pa.Table) -> pa.Table:
         n = b.num_rows
