@@ -584,10 +584,22 @@ def dedup_clusters(pairs: rd.Dataset, n_iters: int = 64,
         # silently become distinct group keys).
         return f"{v:020d}" if int_ids else str(v)
 
+    def enc_arr(col) -> pa.Array:
+        # vectorized enc(): cast + zero-lpad (C kernels). Negative ids would
+        # zero-pad differently than f"{v:020d}", so that (never-seen) case
+        # keeps the scalar path.
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if not int_ids:
+            return pc.cast(arr, pa.string())
+        mn = pc.min(arr).as_py() if len(arr) else 0
+        if mn is not None and mn < 0:
+            return pa.array([enc(v) for v in arr.to_pylist()], pa.string())
+        return pc.utf8_lpad(pc.cast(arr, pa.string()), width=20, padding="0")
+
     def to_edges(b: pa.Table) -> pa.Table:
-        a = [enc(v) for v in b["a"].to_pylist()]
-        c = [enc(v) for v in b["b"].to_pylist()]
-        return pa.table({"node": a + c, "nbr": c + a})
+        a, c = enc_arr(b["a"]), enc_arr(b["b"])
+        return pa.table({"node": pa.concat_arrays([a, c]),
+                         "nbr": pa.concat_arrays([c, a])})
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     labels = edges.map_batches(
@@ -850,12 +862,24 @@ def verify_pairs_exact_bucketed(pairs: rd.Dataset, docs: rd.Dataset, *, n: int =
 
 def verify_pairs_exact(pairs: rd.Dataset, docs: rd.Dataset, *, n: int = 3,
                        threshold: float = 0.6, id_col: str = "doc_id",
-                       text_col: str = "text") -> rd.Dataset:
+                       text_col: str = "text",
+                       broadcast_pairs_max: int = 2_000_000) -> rd.Dataset:
     """Exact n-gram Jaccard over candidate pairs. The doc texts are broadcast via
-    ``ray.put`` when the candidate id-set is small (semi-join pattern); use
-    ``verify_pairs_exact_bucketed`` when the candidate set itself is large."""
+    ``ray.put`` when the candidate id-set is small (semi-join pattern); above
+    ``broadcast_pairs_max`` candidate pairs the call dispatches to
+    ``verify_pairs_exact_bucketed`` (gram-set co-partition, no text broadcast)
+    instead of materializing an unbounded id-set on the driver — same guarded
+    shape as ``dedup_resolve``'s ``broadcast_ids_max`` probe. NOTE: the
+    bucketed path emits exactly (a, b, jaccard); extra pair columns survive
+    only on the broadcast path."""
+    probe = pairs.select_columns(["a", "b"]).limit(broadcast_pairs_max + 1) \
+        .take_all()
+    if len(probe) > broadcast_pairs_max:
+        return verify_pairs_exact_bucketed(pairs, docs, n=n,
+                                           threshold=threshold, id_col=id_col,
+                                           text_col=text_col)
     need = set()
-    for row in pairs.select_columns(["a", "b"]).take_all():
+    for row in probe:
         need.add(row["a"]); need.add(row["b"])
     texts = {}
     for b in docs.select_columns([id_col, text_col]).iter_batches(

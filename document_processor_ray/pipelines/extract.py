@@ -180,14 +180,16 @@ def _branches(source, cfg: ExtractConfig):
     )
     big_out = None
     if big is not None:
-        import zlib
+        from ..core.groupops import _stable_part
 
         n_regroup = cfg.regroup_partitions
 
         def add_part(b: pa.Table) -> pa.Table:
-            parts = [zlib.crc32(d.encode()) % n_regroup
-                     for d in b["doc_id"].to_pylist()]
-            return b.append_column("regroup_part", pa.array(parts, pa.int32()))
+            # vectorized stable doc_id hash (pandas siphash) — any deterministic
+            # process-independent hash works here, the column only regroups a
+            # doc's chunks onto one reducer and never reaches the output
+            return b.append_column(
+                "regroup_part", pa.array(_stable_part(b, ["doc_id"], n_regroup)))
 
         big_out = (
             big.map_batches(sniff_batch, batch_format="pyarrow")
