@@ -7,7 +7,10 @@ generalization of zipWithIndex (``functions/shuffle.global_positions``): each
 row's ``start`` = sum of weights of all rows with a smaller id. A distributed
 sort alone cannot produce it; the scale shape here is
 
-  pass 0: one Min/Max aggregate over the id column (bounds for range buckets);
+  pass -1: materialize the (id, weight) projection once (16 B/row) so the
+          passes below never re-execute the upstream lineage (the tokenize);
+  pass 0: one Min/Max aggregate over the id column (bounds for range buckets)
+          — a metadata-cheap scan of the materialized projection;
   pass 1: per-batch (bucket, weight-sum) partials -> tiny distributed sum
           (<= N_BUCKETS rows) -> driver prefix-sum = bucket offsets,
           broadcast once via ray.put;
@@ -45,10 +48,28 @@ def global_prefix_sum(ds: rd.Dataset, id_col: str, weight_col: str,
     """(id, weight, start): start = exclusive prefix sum of ``weight_col`` in
     ascending ``id_col`` order. Ids must be unique integers; weights
     non-negative int64."""
-    slim = ds.select_columns([id_col, weight_col])
-    bounds = slim.aggregate(Min(id_col, alias_name="lo"),
-                            Max(id_col, alias_name="hi"))
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    # Materialize the 2-column projection ONCE: the three passes below
+    # (bounds, histogram, rank) would otherwise each re-execute the full
+    # upstream lineage — for sequence packing that is the corpus tokenize
+    # pass, 3×. (id, weight) is 16 B/row (~0.1% of a text corpus), and the
+    # object store spills it rather than holding heap.
+    slim = ds.select_columns([id_col, weight_col]).materialize()
+
+    # bounds WITHOUT an Aggregate operator (whose reduce is its own
+    # exchange): one map emits a single (lo, hi) row per block, the driver
+    # merges n_blocks tiny rows — O(corpus/block_size) driver rows, never data
+    def mm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        return pa.table({"lo": [pc.min(b[id_col]).as_py()],
+                         "hi": [pc.max(b[id_col]).as_py()]})
+
+    parts = slim.map_batches(mm, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
     span = max(hi - lo + 1, 1)
 
     def bucket_of(ids: np.ndarray) -> np.ndarray:

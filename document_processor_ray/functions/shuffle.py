@@ -76,8 +76,11 @@ def global_positions(ds: rd.Dataset, id_col: str = "doc_id", *, epoch: int = 0,
         return pa.table({id_col: ids, "__key": pa.array(keys, pa.string()),
                          "__bucket": pa.array(bucket)})
 
-    keyed = ds.select_columns([id_col]).map_batches(add_key,
-                                                    batch_format="pyarrow")
+    # materialize once: the histogram pass AND the rank pass both consume
+    # `keyed`; without this the per-row md5 keying executes twice. The
+    # materialized projection is (id, 32-hex key, bucket) ≈ 50 B/row.
+    keyed = ds.select_columns([id_col]).map_batches(
+        add_key, batch_format="pyarrow").materialize()
 
     # pass 1: bucket histogram — per-batch bincount partials, distributed sum
     # (≤ N_BUCKETS rows reach the driver, never row data)
