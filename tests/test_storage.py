@@ -32,3 +32,29 @@ def test_lance_flag_is_exercised():
     assert storage.HAVE_LANCE is False
     assert storage.is_lance_uri("/data/corpus.lance")
     assert not storage.is_lance_uri("/data/corpus_parquet")
+
+
+@pytest.mark.skipif(not storage.HAVE_LANCE,
+                    reason="lance not installed in this sandbox")
+@pytest.mark.usefixtures("ray_session")
+def test_lance_roundtrip_matches_parquet_schema(tmp_path):
+    """Where ``lance`` exists, write_docs/read_docs on a .lance uri must
+    round-trip with a schema identical to the parquet path — keeps the seam
+    from rotting (skip-marked in the sandbox, runs in lance-equipped CI)."""
+    write_corpus(str(tmp_path / "t"), 20, seed=7, n_files=2)
+    ds = storage.read_docs(str(tmp_path / "t"))
+
+    pq_out = str(tmp_path / "o_pq")
+    storage.write_docs(ds, pq_out)
+    pq_back = storage.read_docs(pq_out)
+
+    lance_out = str(tmp_path / "o.lance")
+    storage.write_docs(ds, lance_out)
+    assert storage.is_lance_uri(lance_out)
+    lance_back = storage.read_docs(lance_out)
+
+    assert lance_back.count() == pq_back.count() == 20
+    assert lance_back.schema().base_schema == pq_back.schema().base_schema
+    # column-pruned read parity on the Lance path
+    pruned = storage.read_docs(lance_out, columns=["doc_id", "n_spans"])
+    assert set(pruned.schema().names) == {"doc_id", "n_spans"}
