@@ -3502,15 +3502,33 @@ def q_price_quantiles_kll(sf_dir):
     high-cardinality companion to the exact bounded-domain histogram path
     (``quantity_quantiles``): prices are near-distinct per row, so the exact
     (value, count) shuffle would carry one row per value; the KLL summary is
-    ~3k floats per batch regardless of scale. Rows-only driver check; the rank
-    error bound is pinned by tests/test_sketch_clusters.py."""
+    a fixed-size float payload per batch regardless of scale. SQL-hash
+    oracle via the Misra-Gries precedent (``approx_token_topk``): with
+    k >= n the sketch never compacts, its ceil(q*n) extraction rule IS
+    ``quantile_disc`` (tested rule-for-rule), and the returned value is the
+    bit-identical stored double — exact at gate scale (60k rows < k=131072),
+    O(1/k)-approximate beyond (rank-error bound pinned by
+    tests/test_sketch_clusters.py)."""
     from ..functions.sketch import approx_quantiles
 
     qs = [0.25, 0.5, 0.75, 0.9, 0.99]
     vals = approx_quantiles(_t(sf_dir, "lineitem", ["l_extendedprice"]),
-                            "l_extendedprice", qs)
+                            "l_extendedprice", qs, k=1 << 17)
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "value": pa.array(vals, pa.float64())})
+
+
+SQL_PRICE_QUANTILES_KLL = """
+SELECT 0.25 AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+UNION ALL
+SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+UNION ALL
+SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+"""
 
 
 def q_page_select(sf_dir):
@@ -3935,14 +3953,28 @@ def q_approx_distinct_users(sf_dir):
 def q_price_p90_by_priority_kll(sf_dir):
     """GROUPED KLL quantile sketch: p50/p90 order price per priority class —
     the sketch path for percentile-per-group on unbounded/float domains
-    (one ~200-float summary per (batch, group) instead of sorting each
-    group). Rows-only: rank-error tolerance is pytest-pinned vs exact
-    np.quantile."""
+    (one fixed-size summary per (batch, group) instead of sorting each
+    group). SQL-hash oracle via the Misra-Gries precedent: with k >= the
+    per-group row count the sketch never compacts, so its ceil(q*n)
+    extraction rule IS ``quantile_disc`` per group — exact at gate scale
+    (~3k rows/priority < k=8192), O(1/k)-approximate beyond (rank-error
+    tolerance pytest-pinned vs exact np.quantile)."""
     from ..functions.sketch import approx_quantiles_by
 
     return approx_quantiles_by(
         _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
-        "o_orderpriority", "o_totalprice", qs=[0.5, 0.9])
+        "o_orderpriority", "o_totalprice", qs=[0.5, 0.9], k=8192)
+
+
+SQL_PRICE_P90_BY_PRIORITY_KLL = """
+SELECT o_orderpriority, 0.5 AS q,
+       quantile_disc(o_totalprice, 0.5) AS value
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 0.9,
+       quantile_disc(o_totalprice, 0.9)
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q_approx_users_by_type(sf_dir):
@@ -4265,7 +4297,8 @@ QUERIES = {
     "html_strip_stats": (q_html_strip_stats, SQL_HTML_STRIP_STATS),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "approx_users_by_type": (q_approx_users_by_type, None),
-    "price_p90_by_priority_kll": (q_price_p90_by_priority_kll, None),
+    "price_p90_by_priority_kll": (q_price_p90_by_priority_kll,
+                                  SQL_PRICE_P90_BY_PRIORITY_KLL),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "price_qty_corr": (q_price_qty_corr, SQL_PRICE_QTY_CORR),
     "orders_profile": (q_orders_profile, SQL_ORDERS_PROFILE),
@@ -4310,7 +4343,7 @@ QUERIES = {
     "span_fragments": (q_span_fragments, SQL_SPAN_FRAGMENTS),
     "page_layout": (q_page_layout, SQL_PAGE_LAYOUT),
     "page_select": (q_page_select, SQL_PAGE_SELECT),
-    "price_quantiles_kll": (q_price_quantiles_kll, None),
+    "price_quantiles_kll": (q_price_quantiles_kll, SQL_PRICE_QUANTILES_KLL),
     "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),
