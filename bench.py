@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "priority_revenue_share", "user_cohorts", "price_p90_by_priority_kll",
     "latest_order_per_customer", "user_top_event", "source_token_topk",
     "weighted_median_qty",
+    # round 5 additions
+    "chunk_dedup",
 ]
 
 

@@ -1071,3 +1071,92 @@ def embedding_dup_pairs(ds: rd.Dataset, *, threshold: float = 0.98,
                                        vec_col=vec_col, **(lsh_kwargs or {}))
     return embedding_dup_pairs_exact(proj, threshold=threshold, id_col=id_col,
                                      vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicate-chunk removal (Raffel et al. 2020, §2.2: drop every
+# repeated occurrence of a repeated span, keeping exactly one corpus-wide)
+# ---------------------------------------------------------------------------
+
+
+def doc_chunks(texts: pa.Array, width: int = 8):
+    """Every NON-OVERLAPPING ``width``-token chunk of every doc, vectorized
+    end to end (the fixed-width analog of ``decontam.doc_grams``'s sliding
+    grams): returns ``(chunk_strings, parent_idx, chunk_no, n_words)``. The
+    last chunk of a doc may be shorter than ``width``; docs with no tokens
+    emit no chunks."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.fill_null(texts, ""),
+                                  pattern=r"[ \t\n\r\f]+")
+    flat = toks.values
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    keep = pc.not_equal(flat, "")
+    km = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    cum = np.concatenate([[0], np.cumsum(km, dtype=np.int64)])
+    off = cum[off]                       # per-doc offsets into filtered tokens
+    n_tok = np.diff(off)
+    n_chunk = -(-n_tok // width)         # ceil division
+    total = int(n_chunk.sum())
+    empty = (pa.array([], pa.string()), np.array([], np.int64),
+             np.array([], np.int64), np.array([], np.int64))
+    if total == 0:
+        return empty
+    parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_chunk)
+    first_of_doc = np.concatenate([[0], np.cumsum(n_chunk)])[:-1]
+    chunk_no = np.arange(total, dtype=np.int64) - first_of_doc[parent]
+    start = off[parent] + chunk_no * width
+    end = np.minimum(start + width, off[parent + 1])
+    offsets = np.concatenate([start, off[-1:]])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    return (pc.binary_join(la, " "), parent, chunk_no,
+            (end - start).astype(np.int64))
+
+
+def chunk_dedup_stats(ds: rd.Dataset, *, width: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text", n_parts: int = 64) -> rd.Dataset:
+    """Corpus-wide duplicate-chunk removal stats, C4 rule: every occurrence of
+    a repeated fixed-width token chunk is dropped EXCEPT the one with the
+    lexicographically smallest ``(doc_id, chunk_no)`` — a deterministic,
+    partitioning-invariant keeper. Returns one row per doc with chunks:
+    ``(doc_id, n_chunks, n_kept, kept_words)``.
+
+    Scale shape (the ``cross_doc_grams`` pattern): per-batch vectorized chunk
+    expansion, then ONE co-partition on the chunk string makes the global
+    keep-first decision partition-local (no vocabulary broadcast, no window
+    over the corpus), then a bounded ``groupby(doc_id)`` sums flags. The
+    exchange carries (chunk, doc_id, chunk_no, n_words) rows — at 100 TB the
+    chunk strings would ride as u64 hashes (``_stable_u64``) at negligible
+    collision risk; strings are kept here for exact cross-engine parity."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..core.groupops import grouped_reduce
+
+    def explode(b: pa.Table) -> pa.Table:
+        chunks, parent, chunk_no, n_words = doc_chunks(b[text_col], width)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"chunk": chunks,
+                         id_col: pa.array(ids[parent], pa.int64()),
+                         "chunk_no": pa.array(chunk_no, pa.int64()),
+                         "n_words": pa.array(n_words, pa.int64())})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        # co-partitioned on chunk: the corpus-wide min (doc_id, chunk_no) per
+        # chunk is partition-local; stable sort + first-seen flag computes it
+        # segment-wise without per-key groups
+        srt = df.sort_values(["chunk", id_col, "chunk_no"], kind="mergesort")
+        kept = (~srt["chunk"].duplicated()).astype("int64")
+        return pd.DataFrame({id_col: srt[id_col].to_numpy(),
+                             "kept": kept.to_numpy(),
+                             "kept_words": kept.to_numpy()
+                             * srt["n_words"].to_numpy()})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    flagged = grouped_reduce(exploded, ["chunk"], keep_first, n_parts=n_parts)
+    return flagged.groupby(id_col).aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("kept", alias_name="n_kept"),
+        Sum("kept_words", alias_name="kept_words"))

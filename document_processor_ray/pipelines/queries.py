@@ -3217,6 +3217,52 @@ def q_cross_doc_grams(sf_dir):
         ["n_distinct_grams", "n_shared_grams"])
 
 
+def q_chunk_dedup(sf_dir):
+    """C4-style duplicate-chunk removal (Raffel et al. 2020 §2.2: drop every
+    repeated occurrence of a repeated span corpus-wide, keep exactly one):
+    per-doc chunk counts before/after the keep-first rule over non-overlapping
+    8-word chunks. See ``functions/dedup.py::chunk_dedup_stats`` for the
+    one-exchange scale shape; keeper = lexicographic min (doc_id, chunk_no),
+    so the result is partitioning-invariant and SQL-mirrorable (row_number
+    over chunk)."""
+    from ..functions.dedup import chunk_dedup_stats
+
+    return _cast_int64(
+        chunk_dedup_stats(_docs(sf_dir, ["doc_id", "text"]), width=8),
+        ["n_chunks", "n_kept", "kept_words"])
+
+
+SQL_CHUNK_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1))
+             AS chunk_no,
+         unnest([array_to_string(t[i*8+1:i*8+8], ' ')
+                 for i in generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)])
+             AS chunk,
+         unnest([len(t[i*8+1:i*8+8])
+                 for i in generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)])
+             AS n_words
+  FROM toks),
+k AS (
+  SELECT doc_id, n_words,
+         CASE WHEN row_number()
+                   OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(kept * n_words) AS BIGINT) AS kept_words
+FROM k GROUP BY doc_id
+"""
+
+
 SQL_CROSS_DOC_GRAMS = """
 WITH toks AS (
   SELECT doc_id,
@@ -4328,6 +4374,7 @@ QUERIES = {
     "benchmark_overlap": (q_benchmark_overlap, SQL_BENCHMARK_OVERLAP),
     "norm_text": (q_norm_text, SQL_NORM_TEXT),
     "cross_doc_grams": (q_cross_doc_grams, SQL_CROSS_DOC_GRAMS),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
