@@ -76,3 +76,17 @@ def test_chunk_dedup_repartition_invariant(ray_session):
          for r in chunk_dedup_stats(
              rd.from_arrow(tbl).repartition(13), width=4, n_parts=7).take_all()}
     assert a == b == _naive(texts, width=4)
+
+
+def test_doc_chunks_kernel_edges():
+    from document_processor_ray.functions.dedup import doc_chunks
+
+    texts = pa.array(["a b c", "", "  x   y  ", None, "p q r s t"])
+    chunks, parent, chunk_no, n_words = doc_chunks(texts, width=2)
+    assert chunks.to_pylist() == ["a b", "c", "x y", "p q", "r s", "t"]
+    assert parent.tolist() == [0, 0, 2, 4, 4, 4]
+    assert chunk_no.tolist() == [0, 1, 0, 0, 1, 2]
+    assert n_words.tolist() == [2, 1, 2, 2, 2, 1]
+
+    empty = doc_chunks(pa.array([], pa.string()), width=4)
+    assert len(empty[0]) == 0 and len(empty[1]) == 0
