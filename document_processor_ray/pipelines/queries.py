@@ -1075,10 +1075,17 @@ FROM documents GROUP BY text
 
 
 def q_minhash_pairs(sf_dir):
+    """MinHash+LSH near-dup candidate pairs. Rows-only: signatures hash grams
+    with blake2b (process-stable, DuckDB-inexpressible); recall/determinism is
+    pytest-pinned (tests/test_dedup.py), resolved clusters are SQL-hash-checked
+    downstream via `dup_clusters`/`near_dedup_resolve`."""
     return dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir):
+    """SimHash hamming<=3 near-dup pairs. Rows-only: 64-bit blake2b token
+    hashes have no DuckDB mirror; the hamming re-verify invariant is
+    pytest-pinned."""
     return dd.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
@@ -1096,7 +1103,11 @@ WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
 
 
 def q_embedding_dup_lsh(sf_dir):
-    """Hyperplane-LSH approximate variant of embedding_dup_pairs (scale path)."""
+    """Hyperplane-LSH approximate variant of embedding_dup_pairs (scale
+    path). Rows-only: bucket membership depends on float dot-product signs
+    against seeded hyperplanes (no SQL mirror); the exact-path twin
+    `embedding_dup_pairs` is SQL-hash-checked and recall vs it is
+    pytest-pinned."""
     pairs = dd.embedding_dup_pairs_lsh(_t(sf_dir, "embeddings"), threshold=0.4,
                                        n_planes=10, n_tables=12)
     return pairs.select_columns(["a", "b"])
@@ -1198,6 +1209,10 @@ def q_compression_ratio(sf_dir):
 
 
 def q_fingerprint(sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03).
+    Rows-only: the digest is sha256 over selected rolling-hash minima —
+    DuckDB-inexpressible; exactness is pytest-pinned against a naive
+    reimplementation (tests/test_textstats.py)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.fingerprint_batch, batch_format="pyarrow"
     ).drop_columns(["text"])
@@ -1248,6 +1263,10 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 
 
 def q_knn_ivf(sf_dir):
+    """IVF approximate kNN (scale path of `knn_cosine`). Rows-only BY DESIGN:
+    nprobe-bounded probing may legitimately miss true neighbors, so no exact
+    SQL mirror exists; recall vs the SQL-hash-checked exact `knn_cosine` is
+    pytest-pinned (tests/test_similarity.py)."""
     qvecs, qids = _first_queries(sf_dir)
     return sim.knn_cosine_ivf(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
                               qvecs, qids, k=10)
@@ -1377,7 +1396,9 @@ FROM ranked WHERE rank <= 5
 def q_kmeans_clusters(sf_dir):
     """Full distributed spherical k-means (k=10, 5 Lloyd iterations): corpus
     bucketing by embedding similarity for mixture balancing / cluster-sharded
-    dedup / IVF codebooks. Dataset materialized once, per-iteration update
+    dedup / IVF codebooks. Rows-only: a recursive float fixpoint has no
+    faithful SQL mirror — the single assignment step IS SQL-hash-checked as
+    `kmeans_assign`, and fit convergence/determinism is pytest-pinned. Dataset materialized once, per-iteration update
     reduced via long-form (cluster, dim, sum) partials — the driver only sees
     k x (d+1) numbers per iteration (functions/cluster.py)."""
     from ..functions import cluster as cl
@@ -3384,7 +3405,11 @@ def _interleaved_corpus(sf_dir):
 
 def q_extract_flagship(sf_dir):
     """Full extraction pipeline over the interleaved corpus derived
-    deterministically from the flat documents table; output = flattened spans."""
+    deterministically from the flat documents table; output = flattened
+    spans. Rows-only: the span stream is produced by the layout/codec engine
+    (SPEC §6), whose independent oracle is the row-at-a-time Python
+    implementation in tests/oracle.py — span equality there is the
+    correctness gate; no SQL reimplementation of the engine exists."""
     from .extract import ExtractConfig, build_extraction
 
     out = build_extraction(_interleaved_corpus(sf_dir),
@@ -3414,7 +3439,9 @@ def q_span_positions(sf_dir):
     spans_meta column, flattened to one row per (output span, POSITION) — the
     reference's one-Position-per-provenance-item shape, page-wrapping spans
     contributing one row per page fragment — with hierarchy fields and
-    coord_origin."""
+    coord_origin. Rows-only (extraction-engine output; oracle-parity pytest is
+    the gate); the closed-form fragment-rule SUBSET is SQL-hash-checked as
+    `span_fragments`/`page_layout`."""
     from .extract import ExtractConfig, build_extraction
 
     out = build_extraction(_interleaved_corpus(sf_dir),
@@ -3650,7 +3677,9 @@ def q_table_cells(sf_dir):
     """T6 surface: per-table shape stats over the flagship corpus's media
     table. The shape columns are materialized at media-table build time
     (``extract.build_media_table`` has the decoded matrix in hand), so this
-    query is a pure filter + projection — no per-row json.loads."""
+    query is a pure filter + projection — no per-row json.loads. Rows-only
+    (engine-internal codec output; cell-matrix equality vs the Python oracle
+    is pytest-pinned in test_media_table_cells_match_oracle)."""
     from .extract import ExtractConfig, build_media_table
 
     media = build_media_table(_interleaved_corpus(sf_dir), ExtractConfig())
@@ -3803,7 +3832,10 @@ FROM m
 
 def q_jaccard_verify(sf_dir):
     """Exact n-gram Jaccard verification of MinHash candidates via the bucketed
-    scale path (gram-set co-partitioned joins, no text broadcast)."""
+    scale path (gram-set co-partitioned joins, no text broadcast). Rows-only:
+    the candidate set comes from blake2b MinHash (no SQL mirror upstream); the
+    Jaccard kernel itself is SQL-hash-checked on deterministic pairs by
+    `jaccard_adjacent`."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
     verified = dd.verify_pairs_exact_bucketed(pairs, docs, threshold=0.3)
@@ -3963,7 +3995,9 @@ FROM ranked
 
 def q_media_decode_stats(sf_dir):
     """Multimodal decode stage over the flagship corpus payload column:
-    per-(content_type, ok) counts and size envelope."""
+    per-(content_type, ok) counts and size envelope. Rows-only: payloads are
+    engine-internal synth-codec bytes DuckDB cannot decode; decode semantics
+    are pytest-pinned (tests/test_multimodal.py)."""
     from ..stages.multimodal import media_table_from_corpus
 
     meta = media_table_from_corpus(_interleaved_corpus(sf_dir))
@@ -3978,7 +4012,10 @@ def q_media_decode_stats(sf_dir):
 
 def q_frame_sample(sf_dir):
     """Frame-sampling stage: every 2nd 'frame' of table payloads (the synth
-    video analog), content-addressed frame refs."""
+    video analog), content-addressed frame refs. Rows-only: refs are sha256
+    content hashes of engine-internal payload bytes DuckDB cannot recompute;
+    determinism + stride semantics are pytest-pinned
+    (tests/test_multimodal.py)."""
     from ..stages.multimodal import FrameSample, explode_payloads
 
     flat = _interleaved_corpus(sf_dir).map_batches(
@@ -3988,7 +4025,11 @@ def q_frame_sample(sf_dir):
 
 
 def q_approx_distinct_users(sf_dir):
-    """HLL sketch count-distinct (mergeable-sketch pattern); single-row result."""
+    """HLL sketch count-distinct (mergeable-sketch pattern); single-row
+    result. Rows-only: the estimate is intentionally approximate (no SQL
+    equality possible); accuracy vs exact COUNT(DISTINCT) is
+    tolerance-pytest-pinned, and the exact paths (`distinct_users`,
+    `distinct_users_salted`) are SQL-hash-checked."""
     from ..functions.sketch import approx_distinct
 
     est = approx_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
@@ -4036,6 +4077,10 @@ def q_approx_users_by_type(sf_dir):
 
 
 def q_extract_metrics(sf_dir):
+    """Per-doc extraction metrics (doc_class/ocr_path/span+error counts)
+    flattened from the flagship run. Rows-only: the metrics derive from the
+    extraction engine's cascade decisions (SPEC §6a) whose independent gate is
+    the Python oracle parity suite, not SQL."""
     from .extract import ExtractConfig, build_extraction
 
     out = build_extraction(_interleaved_corpus(sf_dir),
