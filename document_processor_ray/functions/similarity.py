@@ -114,12 +114,24 @@ def kmeans_codebook(ds: rd.Dataset, n_centroids: int = 16, iters: int = 5,
 
 def knn_cosine_ivf(ds: rd.Dataset, queries: np.ndarray, query_ids: list,
                    k: int = 10, n_centroids: int = 16, nprobe: int = 4,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None) -> rd.Dataset:
     """Approximate top-k: per batch, score only vectors whose nearest centroid is
-    among each query's ``nprobe`` closest centroids."""
-    cent = kmeans_codebook(ds, n_centroids, vec_col=vec_col)
+    among each query's ``nprobe`` closest centroids.
+
+    ``centroids`` overrides the sampled-Lloyd codebook with a caller-supplied
+    one (e.g. ``cluster.lowest_id_vectors`` — deterministic, which makes the
+    whole probe-then-rank algorithm SQL-mirrorable; see ``SQL_KNN_IVF``).
+    Probe selection and all ranking tie-break to the lower centroid / neighbor
+    id, so the output is schedule- and engine-independent."""
+    if centroids is None:
+        cent = kmeans_codebook(ds, n_centroids, vec_col=vec_col)
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    sims_qc = q @ cent.T
+    # stable per-query centroid ranking: sim DESC, centroid index ASC
+    probes = np.argsort(-sims_qc, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     ref = ray.put((q, list(query_ids), cent, probes))
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -1263,13 +1263,51 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 
 
 def q_knn_ivf(sf_dir):
-    """IVF approximate kNN (scale path of `knn_cosine`). Rows-only BY DESIGN:
-    nprobe-bounded probing may legitimately miss true neighbors, so no exact
-    SQL mirror exists; recall vs the SQL-hash-checked exact `knn_cosine` is
-    pytest-pinned (tests/test_similarity.py)."""
+    """IVF approximate kNN (scale path of `knn_cosine`): assign every vector
+    to its nearest codebook centroid, probe each query's ``nprobe`` closest
+    lists, brute-force only inside them. With a DETERMINISTIC codebook (the
+    16 lowest-id vectors — the `kmeans_assign`/`semdedup` seed recipe) the
+    whole algorithm is SQL-mirrorable: the mirror replicates the probe-then-
+    rank semantics itself (NOT true kNN — nprobe-bounded probing may miss
+    true neighbors; recall vs exact `knn_cosine` stays pytest-pinned in
+    tests/test_similarity.py). All ties break to the lower centroid /
+    neighbor id on both engines."""
+    from ..functions import cluster as cl
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     qvecs, qids = _first_queries(sf_dir)
-    return sim.knn_cosine_ivf(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                              qvecs, qids, k=10)
+    return sim.knn_cosine_ivf(ds, qvecs, qids, k=10, nprobe=4,
+                              centroids=cl.lowest_id_vectors(ds, 16))
+
+
+SQL_KNN_IVF = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           ORDER BY vec_id LIMIT 16),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 10),
+avec AS (
+  SELECT e.vec_id, c.cid, e.embedding
+  FROM embeddings e CROSS JOIN c
+  QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) = 1),
+probes AS (
+  SELECT q.query_id, c.cid
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, a.embedding) AS s
+  FROM probes p JOIN avec a ON a.cid = p.cid
+       JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, neighbor_id) AS rank
+FROM cand QUALIFY rank <= 10
+"""
 
 
 def q_kmeans_assign(sf_dir):
@@ -4365,7 +4403,7 @@ QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "compression_ratio": (q_compression_ratio, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
-    "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_clusters": (q_kmeans_clusters, None),
     "semdedup_pairs": (q_semdedup_pairs, SQL_SEMDEDUP_PAIRS),
