@@ -62,6 +62,31 @@ class HLL:
             e = m * np.log(m / zeros)  # small-range correction
         return float(e)
 
+    def estimate_ppm(self) -> int:
+        """Integer-exact estimate in ppm (estimate * 1e6), bit-reproducible
+        across engines: the harmonic sum runs in arbitrary-precision Python
+        ints (S = sum of 2^(64-M_j), exact), the raw estimate is one integer
+        division, and the p=6 linear-counting regime reads a pinned literal
+        table — so a DuckDB mirror computing the same integers hash-matches
+        (see SQL_APPROX_DISTINCT_USERS). float `estimate()` stays the general
+        API; this is the cross-engine-checkable one (p=6 pinned; other p fall
+        back to runtime floor(m*ln(m/z)*1e6) for the linear regime)."""
+        m = self.m
+        regs = self.registers
+        s = int(sum((1 << (64 - int(r))) for r in regs))
+        if self.p == 6:
+            alpha_ppm = _ALPHA_PPM_P6
+        else:
+            alpha_ppm = int(round(0.7213 / (1 + 1.079 / m) * 1e6))
+        raw = (alpha_ppm * m * m * (1 << 64)) // s
+        zeros = int((regs == 0).sum())
+        if raw <= 25 * m * 100_000 and zeros:  # e <= 2.5 m, in ppm
+            if self.p == 6:
+                return _LINEAR_PPM_P6[zeros - 1]
+            import math
+            return int(math.floor(m * math.log(m / zeros) * 1e6))
+        return raw
+
     def to_bytes(self) -> bytes:
         return self.registers.tobytes()
 
@@ -72,12 +97,39 @@ class HLL:
         return h
 
 
-def _hash_col(vals: list) -> np.ndarray:
+def _hash_col(vals: list, hasher: str = "blake2b") -> np.ndarray:
+    if hasher == "md5":
+        # bytes 8..16 of the md5 digest little-endian == DuckDB's
+        # md5_number_lower — the cross-engine-mirrorable hash choice
+        return np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+             for v in vals],
+            dtype=np.uint64,
+        )
     return np.array(
         [int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
                         "little") for v in vals],
         dtype=np.uint64,
     )
+
+
+# Integer-exact HLL estimate constants for p=6 (m=64), pinned as literals so
+# the engine and the DuckDB mirror can never drift (no runtime libm anywhere):
+# alpha_ppm = round(0.7213 / (1 + 1.079/m) * 1e6); linear-counting table
+# entry z (1-based) = floor(m * ln(m / z) * 1e6).
+_ALPHA_PPM_P6 = 709341
+_LINEAR_PPM_P6 = [
+    266168517, 221807097, 195857330, 177445678, 163164490, 151495911,
+    141630267, 133084258, 125546144, 118803071, 112703219, 107134491,
+    102011758, 97268848, 92853304, 88722839, 84842863, 81184724, 77724422,
+    74441651, 71319081, 68341800, 65496887, 62773072, 60160464, 57650338,
+    55234957, 52907428, 50661584, 48491884, 46393336, 44361419, 42392033,
+    40481443, 38626241, 36823305, 35069770, 33363003, 31700571, 30080232,
+    28499905, 26957661, 25451709, 23980380, 22542117, 21135467, 19759070,
+    18411652, 17092018, 15799044, 14531676, 13288919, 12069834, 10873538,
+    9699193, 8546009, 7413236, 6300164, 5206120, 4130465, 3072590, 2031916,
+    1007894, 0,
+]
 
 
 class KLL:
@@ -207,19 +259,24 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: list[float],
     return [merged.quantile(q) for q in qs]
 
 
-def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> int:
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12,
+                    hasher: str = "blake2b", ppm: bool = False) -> int:
     """Distributed HLL count-distinct: one sketch per batch, merged on the driver
-    (merge payload = m bytes per batch, never the values)."""
+    (merge payload = m bytes per batch, never the values).
+
+    ``hasher="md5"`` + ``ppm=True`` selects the cross-engine-mirrorable mode:
+    md5-low-64 hashing (DuckDB ``md5_number_lower``) and the integer-exact
+    ``estimate_ppm`` — the result then hash-matches a pure-SQL HLL."""
 
     def sketch_batch(b: pa.Table) -> pa.Table:
         h = HLL(p)
-        h.add_hashes(_hash_col(b[col].to_pylist()))
+        h.add_hashes(_hash_col(b[col].to_pylist(), hasher))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     merged = HLL(p)
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged.merge(HLL.from_bytes(row["sketch"], p))
-    return int(round(merged.estimate()))
+    return merged.estimate_ppm() if ppm else int(round(merged.estimate()))
 
 
 def approx_quantiles_by(ds: rd.Dataset, group_col: str, col: str,
@@ -279,7 +336,8 @@ def approx_quantiles_by(ds: rd.Dataset, group_col: str, col: str,
 
 
 def approx_distinct_by(ds: rd.Dataset, group_col: str, col: str,
-                       p: int = 10, n_parts: int = 32) -> rd.Dataset:
+                       p: int = 10, n_parts: int = 32,
+                       hasher: str = "blake2b", ppm: bool = False) -> rd.Dataset:
     """GROUPED HLL count-distinct: ``(group_col, approx_distinct)`` — the
     sketch path for COUNT(DISTINCT x) GROUP BY g when x is high-cardinality
     (exact `distinct_users` shuffles every (g, x) pair; this ships one
@@ -308,7 +366,7 @@ def approx_distinct_by(ds: rd.Dataset, group_col: str, col: str,
         for s, e in zip(bounds[:-1], bounds[1:]):
             sel = order[s:e]
             h = HLL(p)
-            h.add_hashes(_hash_col([vv[i] for i in sel]))
+            h.add_hashes(_hash_col([vv[i] for i in sel], hasher))
             groups.append(gv[sel[0]])
             sketches.append(h.to_bytes())
         return pa.table({group_col: pa.array(groups, b[group_col].type),
@@ -325,9 +383,10 @@ def approx_distinct_by(ds: rd.Dataset, group_col: str, col: str,
             for i in sel[1:]:
                 h.merge(HLL.from_bytes(sk[i], p))
             groups.append(gv[sel[0]])
-            ests.append(int(round(h.estimate())))
+            ests.append(h.estimate_ppm() if ppm else int(round(h.estimate())))
+        out_name = "est_ppm" if ppm else "approx_distinct"
         return pa.table({group_col: pa.array(groups, t[group_col].type),
-                         "approx_distinct": pa.array(ests, pa.int64())})
+                         out_name: pa.array(ests, pa.int64())})
 
     sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
     return grouped_reduce(sketched, [group_col], merge_part, n_parts=n_parts,

@@ -4064,15 +4064,63 @@ def q_frame_sample(sf_dir):
 
 def q_approx_distinct_users(sf_dir):
     """HLL sketch count-distinct (mergeable-sketch pattern); single-row
-    result. Rows-only: the estimate is intentionally approximate (no SQL
-    equality possible); accuracy vs exact COUNT(DISTINCT) is
-    tolerance-pytest-pinned, and the exact paths (`distinct_users`,
-    `distinct_users_salted`) are SQL-hash-checked."""
+    result. SQL-hash-checked despite being a sketch: in the mirrorable mode
+    (md5-low-64 hashing = DuckDB ``md5_number_lower``; p=6) every step is
+    integer-exact — registers are max-of-bit-lengths, the harmonic sum runs
+    in arbitrary-precision ints, and the linear-counting regime reads a
+    pinned literal table — so DuckDB reproduces the estimate bit-for-bit
+    (``HLL.estimate_ppm``). Accuracy vs exact COUNT(DISTINCT) stays
+    tolerance-pytest-pinned; the exact paths (`distinct_users`,
+    `distinct_users_salted`) are separately SQL-hash-checked."""
     from ..functions.sketch import approx_distinct
 
-    est = approx_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
+    est = approx_distinct(_t(sf_dir, "events", ["user_id"]), "user_id",
+                          p=6, hasher="md5", ppm=True)
     return pa.table({"metric": ["approx_distinct_users"],
-                     "estimate": pa.array([est], pa.int64())})
+                     "est_ppm": pa.array([est], pa.int64())})
+
+
+# Pure-SQL HyperLogLog (p=6, md5_number_lower hashing), mirroring
+# HLL.add_hashes/estimate_ppm integer-for-integer: bucket = h >> 58, rank =
+# 59 - bit_length(h mod 2^58) (59 when the low bits are all zero), harmonic
+# sum in HUGEINT, raw = alpha_ppm*m^2*2^64 // S, linear-counting regime from
+# the same pinned literal table as functions/sketch.py::_LINEAR_PPM_P6.
+_HLL_P6_EST = """
+  SELECT {group_cols_sel}
+         CAST(CASE WHEN raw <= 160000000 AND zeros > 0
+              THEN list_extract([266168517, 221807097, 195857330, 177445678,
+  163164490, 151495911, 141630267, 133084258, 125546144, 118803071,
+  112703219, 107134491, 102011758, 97268848, 92853304, 88722839, 84842863,
+  81184724, 77724422, 74441651, 71319081, 68341800, 65496887, 62773072,
+  60160464, 57650338, 55234957, 52907428, 50661584, 48491884, 46393336,
+  44361419, 42392033, 40481443, 38626241, 36823305, 35069770, 33363003,
+  31700571, 30080232, 28499905, 26957661, 25451709, 23980380, 22542117,
+  21135467, 19759070, 18411652, 17092018, 15799044, 14531676, 13288919,
+  12069834, 10873538, 9699193, 8546009, 7413236, 6300164, 5206120, 4130465,
+  3072590, 2031916, 1007894, 0], zeros)
+              ELSE raw END AS BIGINT) AS est_ppm
+  FROM (
+    SELECT {group_cols_sel}
+           64 - count(*) AS zeros,
+           (CAST(709341 AS HUGEINT) * 64 * 64 * (CAST(1 AS HUGEINT) << 64))
+             // (sum(CAST(1 AS HUGEINT) << (64 - r))
+                 + (64 - count(*)) * (CAST(1 AS HUGEINT) << 64)) AS raw
+    FROM (
+      SELECT {group_cols_sel} h >> 58 AS bucket,
+             max(CASE WHEN h % 288230376151711744 = 0 THEN 59
+                 ELSE 59 - length(bin(h % 288230376151711744)) END) AS r
+      FROM (SELECT {group_cols_sel}
+                   md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+            FROM events)
+      GROUP BY {group_by} bucket)
+    GROUP BY {group_by_alone})
+"""
+
+SQL_APPROX_DISTINCT_USERS = (
+    "SELECT 'approx_distinct_users' AS metric, est_ppm FROM ("
+    + _HLL_P6_EST.format(group_cols_sel="", group_by="",
+                         group_by_alone="ALL") + ")"
+)
 
 
 def q_price_p90_by_priority_kll(sf_dir):
@@ -4104,14 +4152,21 @@ FROM orders GROUP BY o_orderpriority
 
 def q_approx_users_by_type(sf_dir):
     """GROUPED HLL count-distinct: approx distinct users per event type — the
-    sketch path for COUNT(DISTINCT) GROUP BY at 100 TB (ships one 1 KiB
-    register array per (batch, group) instead of every (group, user) pair;
-    ``functions/sketch.py::approx_distinct_by``). Rows-only: accuracy is
-    tolerance-tested vs the exact counts in pytest."""
+    sketch path for COUNT(DISTINCT) GROUP BY at 100 TB (ships one register
+    array per (batch, group) instead of every (group, user) pair;
+    ``functions/sketch.py::approx_distinct_by``). SQL-hash-checked in the
+    md5/p=6 integer-exact mode (see `approx_distinct_users`); accuracy vs the
+    exact counts stays tolerance-tested in pytest."""
     from ..functions.sketch import approx_distinct_by
 
     return approx_distinct_by(_t(sf_dir, "events", ["event_type", "user_id"]),
-                              "event_type", "user_id")
+                              "event_type", "user_id",
+                              p=6, hasher="md5", ppm=True)
+
+
+SQL_APPROX_USERS_BY_TYPE = _HLL_P6_EST.format(
+    group_cols_sel="event_type,", group_by="event_type,",
+    group_by_alone="event_type")
 
 
 def q_extract_metrics(sf_dir):
@@ -4424,8 +4479,10 @@ QUERIES = {
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "near_dedup_resolve": (q_near_dedup_resolve, SQL_NEAR_DEDUP_RESOLVE),
     "html_strip_stats": (q_html_strip_stats, SQL_HTML_STRIP_STATS),
-    "approx_distinct_users": (q_approx_distinct_users, None),
-    "approx_users_by_type": (q_approx_users_by_type, None),
+    "approx_distinct_users": (q_approx_distinct_users,
+                              SQL_APPROX_DISTINCT_USERS),
+    "approx_users_by_type": (q_approx_users_by_type,
+                             SQL_APPROX_USERS_BY_TYPE),
     "price_p90_by_priority_kll": (q_price_p90_by_priority_kll,
                                   SQL_PRICE_P90_BY_PRIORITY_KLL),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),

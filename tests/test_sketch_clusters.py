@@ -48,6 +48,37 @@ def test_approx_distinct_matches_exact():
     assert abs(est - 700) / 700 < 0.05
 
 
+def test_estimate_ppm_integer_exact():
+    """estimate_ppm mirrors the float estimate's regime logic with pure-int
+    arithmetic: naive big-int recomputation agrees register-for-register, and
+    the p=6 linear-counting regime reads the pinned literal table."""
+    import hashlib
+
+    import numpy as np
+
+    from document_processor_ray.functions.sketch import (
+        _ALPHA_PPM_P6, _LINEAR_PPM_P6)
+
+    h = HLL(p=6)
+    hs = np.array([int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:],
+                                  "little") for v in range(150)], np.uint64)
+    h.add_hashes(hs)
+    got = h.estimate_ppm()
+    # naive reference: same registers, arbitrary-precision ints end-to-end
+    s = sum(1 << (64 - int(r)) for r in h.registers)
+    raw = (_ALPHA_PPM_P6 * 64 * 64 * (1 << 64)) // s
+    zeros = int((h.registers == 0).sum())
+    want = _LINEAR_PPM_P6[zeros - 1] if (raw <= 160_000_000 and zeros) else raw
+    assert got == want
+    # ppm estimate tracks the float estimate's regime decisions (<1% apart)
+    assert abs(got / 1e6 - h.estimate()) / max(h.estimate(), 1) < 0.01
+    # small-cardinality case exercises the pinned linear table
+    h2 = HLL(p=6)
+    h2.add_hashes(hs[:20])
+    z2 = int((h2.registers == 0).sum())
+    assert h2.estimate_ppm() == _LINEAR_PPM_P6[z2 - 1]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_dedup_clusters_components():
     # two components: {1,2,3,4} (chain) and {10,11}; singleton 99 not in pairs
