@@ -1075,18 +1075,127 @@ FROM documents GROUP BY text
 
 
 def q_minhash_pairs(sf_dir):
-    """MinHash+LSH near-dup candidate pairs. Rows-only: signatures hash grams
-    with blake2b (process-stable, DuckDB-inexpressible); recall/determinism is
-    pytest-pinned (tests/test_dedup.py), resolved clusters are SQL-hash-checked
-    downstream via `dup_clusters`/`near_dedup_resolve`."""
+    """MinHash+LSH near-dup candidate pairs. Rows-only: the production
+    signatures hash grams with blake2b and mix mod 2^64 (process-stable,
+    DuckDB-inexpressible — u64 products overflow HUGEINT); recall/determinism
+    is pytest-pinned (tests/test_dedup.py), resolved clusters are
+    SQL-hash-checked downstream via `dup_clusters`/`near_dedup_resolve`, and
+    the signature math itself is SQL-hash-checked via the mod-M witness
+    `minhash_sigs`."""
     return dd.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
+def q_minhash_sigs(sf_dir):
+    """SQL-hash-checked witness for the MinHash family: k=16 signatures in
+    long (doc_id, perm, sig) form, computed entirely mod M = 2^61-1 over
+    md5-low-64 token hashes (= DuckDB ``md5_number_lower``) so DuckDB
+    reproduces every signature bit-for-bit in HUGEINT (operands < 2^61 keep
+    products < 2^122). One shuffle-free actor-pool pass
+    (``functions/dedup_witness.py``); constants are pinned literals on both
+    engines; exactness vs an arbitrary-precision reference is also
+    pytest-pinned (tests/test_dedup_witness.py)."""
+    from ..functions.dedup_witness import minhash_sigs_m61
+
+    return minhash_sigs_m61(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_MINHASH_SIGS = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos,
+         len(toks) AS n
+  FROM docs),
+th AS (
+  SELECT doc_id, pos, n,
+         CAST(md5_number_lower(tok) AS HUGEINT) % 2305843009213693951 AS t
+  FROM tok),
+sh AS (
+  SELECT a.doc_id,
+         (a.t * 2177342782468422681
+          + COALESCE(b.t * 2258633747088074174, 0)
+          + COALESCE(c.t * 1499779743744070127, 0))
+           % 2305843009213693951 AS h
+  FROM th a
+  LEFT JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  LEFT JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.pos <= greatest(a.n - 2, 1)
+  UNION ALL
+  SELECT doc_id, CAST(0 AS HUGEINT) FROM docs WHERE len(toks) = 0),
+params(perm, a, b) AS (VALUES
+  (0, 161783044969865361, 616059259915317539),
+  (1, 1253037630038414346, 294708338141792757),
+  (2, 1211691016609570074, 963279562875064661),
+  (3, 112487526851420348, 416790898057187056),
+  (4, 1147494184003706799, 1885484957211360197),
+  (5, 341655084064371734, 2068438985766178347),
+  (6, 1682263752012145498, 112368096118177428),
+  (7, 582533385370489606, 1662039512607195119),
+  (8, 1918770616093810682, 97970066371827807),
+  (9, 919077091889351839, 176139585570932298),
+  (10, 2011408697998162808, 1578416310055072854),
+  (11, 1079365583683518842, 2166721399582613053),
+  (12, 320630544007800531, 45263012668960698),
+  (13, 993455726057165935, 2304943031768533190),
+  (14, 1053813949153199038, 1314145847639288079),
+  (15, 29507949709329712, 156299750599766892))
+SELECT s.doc_id, CAST(p.perm AS BIGINT) AS perm,
+       CAST(min((CAST(p.a AS HUGEINT) * s.h + p.b)
+                % 2305843009213693951) AS BIGINT) AS sig
+FROM sh s CROSS JOIN params p
+GROUP BY s.doc_id, p.perm
+"""
+
+
 def q_simhash_pairs(sf_dir):
-    """SimHash hamming<=3 near-dup pairs. Rows-only: 64-bit blake2b token
-    hashes have no DuckDB mirror; the hamming re-verify invariant is
-    pytest-pinned."""
+    """SimHash hamming<=3 near-dup pairs. Rows-only: the production 64-bit
+    blake2b token hashes have no DuckDB mirror; the hamming re-verify
+    invariant is pytest-pinned, and the signature math is SQL-hash-checked
+    via the md5 witness `simhash_sigs`."""
     return dd.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_simhash_sigs(sf_dir):
+    """SQL-hash-checked witness for the SimHash family: per-doc 64-bit
+    signatures over md5-low-64 token hashes — bit j set iff the
+    multiplicity-weighted sum of +-1 contributions is > 0 (integer-exact on
+    both engines; empty docs hash to 0). One shuffle-free actor-pool pass
+    (``functions/dedup_witness.py``)."""
+    from ..functions.dedup_witness import simhash_md5
+
+    return simhash_md5(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_SIMHASH_SIGS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h, count(*) AS cnt
+  FROM tok GROUP BY doc_id, tok),
+bits AS (
+  SELECT doc_id, g.j,
+         sum(CASE WHEN (h >> CAST(g.j AS UBIGINT)) & 1 = 1
+                  THEN cnt ELSE -cnt END) AS s
+  FROM th CROSS JOIN generate_series(0, 63) g(j)
+  GROUP BY doc_id, g.j),
+acc AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << j
+             ELSE CAST(0 AS HUGEINT) END) AS v
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(
+           CASE WHEN a.v >= CAST(1 AS HUGEINT) << 63
+                THEN a.v - (CAST(1 AS HUGEINT) << 64) ELSE a.v END,
+           0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id
+"""
 
 
 def q_embedding_dup_pairs(sf_dir):
@@ -4450,7 +4559,9 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "minhash_pairs": (q_minhash_pairs, None),
+    "minhash_sigs": (q_minhash_sigs, SQL_MINHASH_SIGS),
     "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_lsh": (q_embedding_dup_lsh, None),
     "langid_pred": (q_langid_pred, SQL_LANGID_PRED),

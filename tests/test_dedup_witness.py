@@ -1,0 +1,92 @@
+"""SQL-mirrorable signature witnesses (functions/dedup_witness.py): the
+vectorized mod-M kernels must agree with arbitrary-precision references, and
+the witness signatures must preserve the families' similarity semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from document_processor_ray.functions.dedup_witness import (
+    M61, MinHashWitness, SimHashWitness, minhash_sig_ref, minhash_sigs_m61,
+    mulmod61, simhash_md5, simhash_ref)
+
+EDGE_TEXTS = [
+    "hello world foo bar baz",
+    "",
+    "one",
+    "two tokens",
+    "a a a a b",
+    "x\ty\nz\rw\fv",
+    "  padded  edges  ",
+    None,
+    "repeat repeat repeat repeat",
+]
+
+
+def test_mulmod61_matches_bigint():
+    rng = np.random.RandomState(42)
+    a = rng.randint(0, (1 << 61) - 1, 2000).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, 2000).astype(np.uint64)
+    got = mulmod61(a, b)
+    m = int(M61)
+    want = np.array([(int(x) * int(y)) % m for x, y in zip(a, b)], np.uint64)
+    assert (got == want).all()
+    # boundary operands
+    edge = np.array([0, 1, m - 1, m - 2, 1 << 60, (1 << 60) + 1], np.uint64)
+    for x in edge:
+        got = mulmod61(edge, x)
+        want = np.array([(int(v) * int(x)) % m for v in edge], np.uint64)
+        assert (got == want).all()
+
+
+def test_minhash_witness_matches_reference():
+    batch = pa.table({"doc_id": [f"d{i}" for i in range(len(EDGE_TEXTS))],
+                      "text": EDGE_TEXTS})
+    out = MinHashWitness()(batch)
+    sigs = {}
+    for d, p, s in zip(out["doc_id"].to_pylist(), out["perm"].to_pylist(),
+                       out["sig"].to_pylist()):
+        sigs.setdefault(d, [None] * 16)[p] = s
+    for i, t in enumerate(EDGE_TEXTS):
+        assert sigs[f"d{i}"] == minhash_sig_ref(t or ""), (i, t)
+
+
+def test_simhash_witness_matches_reference():
+    batch = pa.table({"doc_id": [f"d{i}" for i in range(len(EDGE_TEXTS))],
+                      "text": EDGE_TEXTS})
+    out = SimHashWitness()(batch)
+    got = dict(zip(out["doc_id"].to_pylist(), out["simhash"].to_pylist()))
+    for i, t in enumerate(EDGE_TEXTS):
+        assert got[f"d{i}"] == simhash_ref(t or ""), (i, t)
+
+
+def test_minhash_witness_similarity_semantics():
+    """Identical docs share all 16 mins; near-identical docs share most;
+    unrelated docs share few — the MinHash contract survives the mod-M
+    re-expression."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(198)) + " other extra"
+    far = " ".join(f"zzz{i}" for i in range(200))
+    a, b, c = (minhash_sig_ref(t) for t in (base, near, far))
+    same_ab = sum(x == y for x, y in zip(a, b))
+    same_ac = sum(x == y for x, y in zip(a, c))
+    assert same_ab >= 12
+    assert same_ac <= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_witness_datasets_invariant_under_repartition():
+    rows = [{"doc_id": f"d{i:03d}", "text": t or ""}
+            for i, t in enumerate(EDGE_TEXTS * 8)]
+    ds1 = rd.from_items(rows)
+    ds2 = rd.from_items(rows).repartition(7)
+    mh1 = {(r["doc_id"], r["perm"]): r["sig"]
+           for r in minhash_sigs_m61(ds1).take_all()}
+    mh2 = {(r["doc_id"], r["perm"]): r["sig"]
+           for r in minhash_sigs_m61(ds2).take_all()}
+    assert mh1 == mh2
+    sh1 = {r["doc_id"]: r["simhash"] for r in simhash_md5(ds1).take_all()}
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash_md5(ds2).take_all()}
+    assert sh1 == sh2
