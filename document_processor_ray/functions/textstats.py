@@ -164,6 +164,44 @@ def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
         "compress_ppm": pa.array(ratios, pa.int64())})
 
 
+def fingerprint_grams_batch(batch: pa.Table, text_col: str = "text",
+                            k: int = 8, window: int = 4) -> pa.Table:
+    """SQL-mirrorable winnowing witness: the SELECTED k-gram hashes themselves
+    (long (doc_id, gram) rows) instead of `fingerprint_batch`'s sha256 digest.
+    Grams are CHARACTER k-grams hashed with md5-low-64 (= DuckDB
+    ``md5_number_lower(substr(text, i, k))``, character-based on both
+    engines), selection is the winnowing rule — distinct per-window minima
+    over full windows; docs with 0 < n_grams < window keep all distinct gram
+    hashes; docs shorter than k hash the whole text — so DuckDB reproduces
+    the exact row set (SQL_FINGERPRINT_GRAMS). u64 hashes ship as int64
+    bit-views."""
+    doc_ids: list = []
+    grams: list[np.ndarray] = []
+    dids = batch["doc_id"].to_pylist()
+    for did, text in zip(dids, batch[text_col].to_pylist()):
+        t = text or ""
+        n = len(t) - k + 1
+        if n <= 0:
+            hs = np.array([int.from_bytes(
+                hashlib.md5(t.encode()).digest()[8:], "little")], np.uint64)
+        else:
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(t[i:i + k].encode()).digest()[8:],
+                                "little") for i in range(n)),
+                np.uint64, count=n)
+            if n >= window:
+                win = np.lib.stride_tricks.sliding_window_view(hs, window)
+                hs = np.unique(win.min(axis=1))
+            else:
+                hs = np.unique(hs)
+        doc_ids.extend([did] * len(hs))
+        grams.append(hs)
+    flat = (np.concatenate(grams) if grams
+            else np.array([], np.uint64)).view(np.int64)
+    return pa.table({"doc_id": pa.array(doc_ids, batch["doc_id"].type),
+                     "gram": pa.array(flat)})
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text", k: int = 8,
                       window: int = 4) -> pa.Table:
     """Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram rolling hashes,

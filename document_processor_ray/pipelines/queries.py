@@ -1321,10 +1321,53 @@ def q_fingerprint(sf_dir):
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03).
     Rows-only: the digest is sha256 over selected rolling-hash minima —
     DuckDB-inexpressible; exactness is pytest-pinned against a naive
-    reimplementation (tests/test_textstats.py)."""
+    reimplementation (tests/test_textstats.py), and the winnowing SELECTION
+    rule itself is SQL-hash-checked via `fingerprint_grams`."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.fingerprint_batch, batch_format="pyarrow"
     ).drop_columns(["text"])
+
+
+def q_fingerprint_grams(sf_dir):
+    """SQL-hash-checked witness for the winnowing family: the selected k-gram
+    hashes as (doc_id, gram) rows — md5 character grams + per-window minima,
+    both DuckDB-reproducible (``functions/textstats.py::
+    fingerprint_grams_batch``). One shuffle-free pass."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.fingerprint_grams_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_GRAMS = """
+WITH pos AS (
+  SELECT doc_id, text,
+         greatest(length(text) - 7, 0) AS n_grams,
+         unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS p
+  FROM documents),
+h AS (
+  SELECT doc_id, n_grams, p,
+         md5_number_lower(substr(text, CAST(p AS INTEGER), 8)) AS gh
+  FROM pos),
+sel AS (
+  -- full-window minima (winnowing) for docs with n_grams >= window
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS g
+  FROM h WHERE n_grams >= 4
+  QUALIFY p <= n_grams - 3
+  UNION ALL
+  -- short docs (0 < n_grams < window): keep every gram hash
+  SELECT doc_id, gh FROM h WHERE n_grams < 4
+  UNION ALL
+  -- docs shorter than k: hash the whole text
+  SELECT doc_id, md5_number_lower(text) FROM documents
+  WHERE greatest(length(text) - 7, 0) = 0)
+SELECT DISTINCT doc_id,
+       CAST(CAST(g AS HUGEINT)
+            - CASE WHEN g >= CAST(1 AS HUGEINT) << 63
+                   THEN CAST(1 AS HUGEINT) << 64 ELSE 0 END
+            AS BIGINT) AS gram
+FROM sel
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4567,6 +4610,7 @@ QUERIES = {
     "langid_pred": (q_langid_pred, SQL_LANGID_PRED),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, None),
+    "fingerprint_grams": (q_fingerprint_grams, SQL_FINGERPRINT_GRAMS),
     "compression_ratio": (q_compression_ratio, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),

@@ -235,6 +235,39 @@ def test_fingerprint_properties():
     assert len(out[0]["fingerprint"]) == 16
 
 
+def test_fingerprint_grams_matches_naive():
+    """Witness winnowing selection vs a direct reimplementation, across the
+    length regimes: empty, < k, == k, k..k+window-1 grams, and long."""
+    import hashlib
+
+    texts = ["", "abc", "abcdefgh", "abcdefghij", "abcdefghij" * 5,
+             "abcdefghij" * 5]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = ts.fingerprint_grams_batch(b)
+    got: dict = {}
+    for d, g in zip(out["doc_id"].to_pylist(), out["gram"].to_pylist()):
+        got.setdefault(d, set()).add(g)
+
+    def md5l(s):
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for i, t in enumerate(texts):
+        n = len(t) - 7
+        if n <= 0:
+            want = {md5l(t)}
+        else:
+            # compare as unsigned, like the u64 engine path
+            u = [md5l(t[j:j + 8]) % (1 << 64) for j in range(n)]
+            if n >= 4:
+                mins = {min(u[j:j + 4]) for j in range(n - 3)}
+            else:
+                mins = set(u)
+            want = {v - (1 << 64) if v >= (1 << 63) else v for v in mins}
+        assert got[i] == want, (i, t)
+    assert got[4] == got[5]  # identical docs select identical grams
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_tumbling_window_matches_pandas():
     ts_vals = pd.to_datetime(
