@@ -93,7 +93,8 @@ BENCH_QUERIES = [
     "latest_order_per_customer", "user_top_event", "source_token_topk",
     "weighted_median_qty",
     # round 5 additions
-    "chunk_dedup",
+    "chunk_dedup", "minhash_sigs", "simhash_sigs", "fingerprint_grams",
+    "approx_distinct_users",
 ]
 
 
