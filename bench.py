@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "weighted_median_qty",
     # round 5 additions
     "chunk_dedup", "minhash_sigs", "simhash_sigs", "fingerprint_grams",
-    "approx_distinct_users",
+    "approx_distinct_users", "minhash_band_pairs", "kmeans_iter_assign",
 ]
 
 
@@ -170,8 +170,12 @@ def _probe_settle() -> float | None:
 def _init_ray():
     import ray
 
+    # log_to_driver=False: raylet warnings (e.g. the detached-actor namespace
+    # notice from dedup's overflow counter) otherwise land on STDOUT and can
+    # break the driver's parse of the single JSON result line (BENCH_r04
+    # recorded parsed=null for exactly this reason)
     ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -130,6 +130,98 @@ def kmeans(ds: rd.Dataset, k: int, n_iter: int = 5, id_col: str = "vec_id",
                   id_col, vec_col)
 
 
+def _quantize(mat: np.ndarray, scale: int) -> np.ndarray:
+    """Half-up integer quantization, identical to SQL
+    ``floor(CAST(x AS DOUBLE) * scale + 0.5)`` (float32 -> float64 is exact,
+    so both engines quantize the same bits)."""
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def kmeans_fit_int(ds: rd.Dataset, k: int = 8, n_iter: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = 1000) -> np.ndarray:
+    """INTEGER-EXACT euclidean Lloyd fit — the determinism-first variant of
+    ``kmeans_fit``: embeddings quantize half-up to ``scale`` units, every
+    distance/argmin/centroid-update is integer arithmetic, and new centroids
+    floor-divide their member sums — so the ITERATED fixpoint (not just one
+    assignment step) is bit-reproducible across engines, schedules, and
+    machines, and a DuckDB mirror unrolling the same iterations hash-matches
+    (``SQL_KMEANS_ITER_ASSIGN``). Same scale shape as ``kmeans_fit``: one
+    materialization, per-iteration streamed long-form (cluster, dim, sum)
+    partials, bounded groupby, k x (d+1) numbers to the driver. Exactness
+    bound: per-(cluster, dim) sums stay exact through the float64 aggregate
+    while |sum| < 2^53 — at scale=1000 that is ~3e13 member rows per cluster.
+    Empty clusters keep their previous centroid. Returns the (k, d) int64
+    centroid matrix in quantized units."""
+    ds = ds.materialize()
+    cent = _quantize(
+        np.asarray(lowest_id_vectors(ds, k, id_col, vec_col), np.float64),
+        scale)
+    d = cent.shape[1]
+
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            _, mat = ids_and_matrix(b, id_col, vec_col, normalize=False)
+            if not len(mat):
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())})
+            q = _quantize(mat, scale)
+            d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)               # ties -> lowest cluster id
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            cl = np.repeat(np.arange(k, dtype=np.int64), d + 1)
+            dim = np.tile(np.arange(-1, d, dtype=np.int64), k)
+            s = np.concatenate([counts[:, None], sums], axis=1).ravel()
+            return pa.table({"cluster": pa.array(cl), "dim": pa.array(dim),
+                             "s": pa.array(s)})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["cluster", "dim"]).aggregate(Sum("s", alias_name="s"))
+                .take_all())
+        sums = np.zeros((k, d), np.int64)
+        counts = np.zeros(k, np.int64)
+        for r in rows:
+            if r["dim"] < 0:
+                counts[r["cluster"]] = int(r["s"])
+            else:
+                sums[r["cluster"], r["dim"]] = int(r["s"])
+        nonempty = counts > 0
+        upd = np.floor_divide(sums, np.maximum(counts, 1)[:, None])
+        cent = np.where(nonempty[:, None], upd, cent)
+    return cent
+
+
+def kmeans_int_assign(ds: rd.Dataset, k: int = 8, n_iter: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: int = 1000) -> rd.Dataset:
+    """Fit (integer-exact, ``kmeans_fit_int``) + final assignment:
+    ``n_iter`` assignment passes with ``n_iter - 1`` centroid updates between
+    them (Lloyd's canonical unroll, matching SQL_KMEANS_ITER_ASSIGN's layer
+    count). One extra shuffle-free pass for the output assignment."""
+    ds = ds.materialize()
+    cent = ray.put(kmeans_fit_int(ds, k, max(n_iter - 1, 0), id_col, vec_col,
+                                  scale))
+
+    def f(b: pa.Table) -> pa.Table:
+        c = ray.get(cent)
+        ids, mat = ids_and_matrix(b, id_col, vec_col, normalize=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        q = _quantize(mat, scale)
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(d2.argmin(axis=1))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def semdedup_pairs(ds: rd.Dataset, k: int = 10, threshold: float = 0.4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_parts: int = 32, block: int = 4096,

@@ -118,11 +118,41 @@ def _regex_tokens_md5_m61(texts, cache: dict[str, int]):
     return uh[idx], counts
 
 
+def _witness_sig_matrix(texts, cache: dict[str, int]) -> np.ndarray:
+    """(n_docs, 16) mod-M signature matrix — the shared kernel behind the
+    long-form witness query and the banded-pair witness. Shingle rule
+    (mirrored in SQL): docs with n>=3 tokens emit n-2 3-token windows; n=2
+    one 2-term window; n=1 one 1-term window; n=0 one zero shingle — every
+    doc emits exactly max(n-2, 1) shingles."""
+    th, counts = _regex_tokens_md5_m61(texts, cache)
+    k = len(PERM_A)
+    n_docs = len(counts)
+    n_sh = np.maximum(counts - 2, 1)
+    sh_offs = np.concatenate([[0], np.cumsum(n_sh)])
+    tok_offs = np.concatenate([[0], np.cumsum(counts)])
+    total = int(sh_offs[-1])
+    par = np.repeat(np.arange(n_docs), n_sh)
+    pos = np.arange(total) - sh_offs[par]          # 0-based window start
+    tpos = tok_offs[par] + pos
+    width = np.minimum(counts[par] - pos, 3)       # 0 only for empty docs
+    h = np.zeros(total, dtype=np.uint64)
+    m1 = width >= 1
+    h[m1] = mulmod61(th[tpos[m1]], C1)
+    m2 = width >= 2
+    h[m2] = addmod61(h[m2], mulmod61(th[tpos[m2] + 1], C2))
+    m3 = width >= 3
+    h[m3] = addmod61(h[m3], mulmod61(th[tpos[m3] + 2], C3))
+    sig = np.empty((n_docs, k), dtype=np.uint64)
+    starts = sh_offs[:-1].astype(np.intp)
+    for j in range(k):
+        v = addmod61(mulmod61(h, PERM_A[j]), PERM_B[j])
+        sig[:, j] = np.minimum.reduceat(v, starts)
+    return sig
+
+
 class MinHashWitness:
     """Actor-pool stage: (doc_id, perm, sig) mod-M MinHash signatures in long
-    form. Shingle rule (mirrored in SQL): docs with n>=3 tokens emit n-2
-    3-token windows; n=2 one 2-term window; n=1 one 1-term window; n=0 one
-    zero shingle — every doc emits exactly max(n-2, 1) shingles."""
+    form (see ``_witness_sig_matrix`` for the shingle rule)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
@@ -137,28 +167,8 @@ class MinHashWitness:
             return pa.table({"doc_id": ids.take(pa.array([], pa.int64())),
                              "perm": pa.array([], pa.int64()),
                              "sig": pa.array([], pa.int64())})
-        th, counts = _regex_tokens_md5_m61(batch[self.text_col], self._cache)
-        n_docs = len(counts)
-        n_sh = np.maximum(counts - 2, 1)
-        sh_offs = np.concatenate([[0], np.cumsum(n_sh)])
-        tok_offs = np.concatenate([[0], np.cumsum(counts)])
-        total = int(sh_offs[-1])
-        par = np.repeat(np.arange(n_docs), n_sh)
-        pos = np.arange(total) - sh_offs[par]          # 0-based window start
-        tpos = tok_offs[par] + pos
-        width = np.minimum(counts[par] - pos, 3)       # 0 only for empty docs
-        h = np.zeros(total, dtype=np.uint64)
-        m1 = width >= 1
-        h[m1] = mulmod61(th[tpos[m1]], C1)
-        m2 = width >= 2
-        h[m2] = addmod61(h[m2], mulmod61(th[tpos[m2] + 1], C2))
-        m3 = width >= 3
-        h[m3] = addmod61(h[m3], mulmod61(th[tpos[m3] + 2], C3))
-        sig = np.empty((n_docs, k), dtype=np.uint64)
-        starts = sh_offs[:-1].astype(np.intp)
-        for j in range(k):
-            v = addmod61(mulmod61(h, PERM_A[j]), PERM_B[j])
-            sig[:, j] = np.minimum.reduceat(v, starts)
+        sig = _witness_sig_matrix(batch[self.text_col], self._cache)
+        n_docs = batch.num_rows
         idx = pa.array(np.repeat(np.arange(n_docs), k))
         return pa.table({
             "doc_id": ids.take(idx),
@@ -176,6 +186,93 @@ def minhash_sigs_m61(ds: rd.Dataset, text_col: str = "text",
         MinHashWitness,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+
+class _BandedWitness:
+    """Actor-pool stage for ``minhash_band_pairs``: per doc, 4 banded rows
+    (band id, exact band key = the 4 sig values joined as decimal text, full
+    16-sig blob for the agreement count)."""
+
+    BANDS, ROWS = 4, 4
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": ids.take(pa.array([], pa.int64())),
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.string()),
+                             "sig": pa.array([], pa.binary())})
+        sig = _witness_sig_matrix(batch[self.text_col], self._cache)
+        n = batch.num_rows
+        blobs = [sig[i].tobytes() for i in range(n)]
+        keys = ["-".join(str(int(v)) for v in sig[i, b * 4:b * 4 + 4])
+                for i in range(n) for b in range(self.BANDS)]
+        idx = pa.array(np.repeat(np.arange(n), self.BANDS))
+        return pa.table({
+            "doc_id": ids.take(idx),
+            "band": pa.array(np.tile(np.arange(self.BANDS, dtype=np.int32), n)),
+            "key": pa.array(keys, pa.string()),
+            "sig": pa.array([blobs[i // self.BANDS]
+                             for i in range(n * self.BANDS)], pa.binary()),
+        })
+
+
+def minhash_band_pairs(ds: rd.Dataset, min_agree: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_bucket: int = 512,
+                       concurrency=None) -> rd.Dataset:
+    """Fully SQL-hash-checkable LSH PAIR pipeline over the mod-M witness
+    signatures: candidates = doc pairs whose 4-row band signatures are EQUAL
+    in some band (exact tuple equality, no hash-key collisions to diverge
+    on), kept when >= ``min_agree`` of the 16 signature positions agree — an
+    integer est-Jaccard of min_agree/16. One signature pass + ONE
+    co-partition on (band, key); output (a, b, n_agree) with a < b.
+
+    Unlike production ``minhash_lsh_pairs`` there is NO hot-bucket
+    degrade-to-chain cap: SQL parity requires the full in-bucket pair set, so
+    an oversized bucket (> ``max_bucket``) raises loudly instead of silently
+    diverging — run exact_dedup first (the production contract) or raise the
+    bound for corpora with huge identical-text groups."""
+    import pandas as pd
+
+    from ..core.groupops import grouped_reduce
+
+    banded = ds.map_batches(
+        _BandedWitness,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        multi = g[g.duplicated(["band", "key"], keep=False)]
+        out_a, out_b, out_n = [], [], []
+        for _, grp in multi.groupby(["band", "key"], sort=False):
+            if len(grp) > max_bucket:
+                raise ValueError(
+                    f"minhash_band_pairs: bucket of {len(grp)} members "
+                    f"exceeds max_bucket={max_bucket}; dedup exact "
+                    "duplicates first or raise the bound")
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                             for s in grp["sig"]])
+            ii, jj = np.triu_indices(len(ids), k=1)
+            agree = (sigs[ii] == sigs[jj]).sum(axis=1).astype(np.int64)
+            keep = np.flatnonzero(agree >= min_agree)
+            out_a.extend(ids[ii[keep]].tolist())
+            out_b.extend(ids[jj[keep]].tolist())
+            out_n.extend(agree[keep].tolist())
+        return pd.DataFrame({"a": out_a, "b": out_b, "n_agree": out_n})
+
+    pairs = grouped_reduce(banded, ["band", "key"], part_pairs)
+    return grouped_reduce(pairs, ["a", "b"],
+                          lambda g: g.drop_duplicates(["a", "b"]))
 
 
 class SimHashWitness:

@@ -1150,6 +1150,38 @@ GROUP BY s.doc_id, p.perm
 """
 
 
+def q_minhash_band_pairs(sf_dir):
+    """FULLY SQL-hash-checked LSH pair pipeline (the banded-candidate →
+    signature-agreement shape of Broder'97 MinHash-LSH) over the mod-M
+    witness signatures: candidate pairs share an EXACT 4-sig band tuple in
+    one of 4 bands; kept when >= 8/16 signature positions agree (integer
+    est-Jaccard 0.5). One sig pass + one (band, key) co-partition
+    (``functions/dedup_witness.py::minhash_band_pairs``); the mirror
+    recomputes signatures, band joins, and the agreement count in pure SQL.
+    Production-scale pairs stay `minhash_pairs` (hot-bucket caps there are
+    deliberately absent here — SQL parity requires the full pair set, so
+    oversized buckets raise loudly)."""
+    from ..functions.dedup_witness import minhash_band_pairs
+
+    return minhash_band_pairs(_docs(sf_dir, ["doc_id", "text"]), min_agree=8)
+
+
+SQL_MINHASH_BAND_PAIRS = """
+WITH sigs AS ({MINHASH_SIGS}),
+wide AS (
+  SELECT doc_id, list(sig ORDER BY perm) AS s FROM sigs GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(len(list_filter(range(1, 17), i -> a.s[i] = b.s[i]))
+              AS BIGINT) AS n_agree
+  FROM wide a JOIN wide b
+    ON a.doc_id < b.doc_id
+   AND (a.s[1:4] = b.s[1:4] OR a.s[5:8] = b.s[5:8]
+        OR a.s[9:12] = b.s[9:12] OR a.s[13:16] = b.s[13:16]))
+SELECT a, b, n_agree FROM cand WHERE n_agree >= 8
+""".format(MINHASH_SIGS=SQL_MINHASH_SIGS)
+
+
 def q_simhash_pairs(sf_dir):
     """SimHash hamming<=3 near-dup pairs. Rows-only: the production 64-bit
     blake2b token hashes have no DuckDB mirror; the hamming re-verify
@@ -1588,13 +1620,73 @@ def q_kmeans_clusters(sf_dir):
     bucketing by embedding similarity for mixture balancing / cluster-sharded
     dedup / IVF codebooks. Rows-only: a recursive float fixpoint has no
     faithful SQL mirror — the single assignment step IS SQL-hash-checked as
-    `kmeans_assign`, and fit convergence/determinism is pytest-pinned. Dataset materialized once, per-iteration update
-    reduced via long-form (cluster, dim, sum) partials — the driver only sees
-    k x (d+1) numbers per iteration (functions/cluster.py)."""
+    `kmeans_assign`, the full ITERATED fit is SQL-hash-checked in its
+    integer-exact variant `kmeans_iter_assign`, and fit
+    convergence/determinism is pytest-pinned. Dataset materialized once,
+    per-iteration update reduced via long-form (cluster, dim, sum) partials —
+    the driver only sees k x (d+1) numbers per iteration
+    (functions/cluster.py)."""
     from ..functions import cluster as cl
 
     return cl.kmeans(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
                      k=10, n_iter=5)
+
+
+def q_kmeans_iter_assign(sf_dir):
+    """ITERATED k-means fit, SQL-hash-checked: the integer-exact euclidean
+    Lloyd variant (``cluster.kmeans_int_assign`` — embeddings quantized
+    half-up to 1e-3 units, integer distances/argmin, floor-div centroid
+    updates, empty clusters keep their centroid), k=8, 4 assignment passes
+    with 3 updates between them. The DuckDB mirror unrolls the same
+    iterations as CTE layers and matches bit-for-bit — closing the gap
+    `kmeans_clusters` documents (a FLOAT fixpoint has no faithful mirror;
+    the integer one does)."""
+    from ..functions import cluster as cl
+
+    return cl.kmeans_int_assign(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, n_iter=4)
+
+
+def _kmeans_int_sql(k: int = 8, iters: int = 4) -> str:
+    """Unrolled integer-exact Lloyd mirror: layer i = assignment under the
+    (i-1)-times-updated centroids; centroid update = floor-div of member sums
+    (the % dance makes DuckDB's truncating // a floor, matching numpy);
+    COALESCE keeps empty clusters' previous centroids."""
+    s = """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT r.cid, x.dim, x.v
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM embeddings ORDER BY vec_id LIMIT {k}) r
+  JOIN x ON x.vec_id = r.vec_id)""".format(k=k)
+    for i in range(1, iters + 1):
+        s += """,
+a{i} AS (
+  SELECT x.vec_id, c.cid, sum((x.v - c.v) * (x.v - c.v)) AS d2
+  FROM x JOIN c{p} c ON c.dim = x.dim GROUP BY x.vec_id, c.cid),
+b{i} AS (
+  SELECT vec_id, cid FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)""" \
+            .format(i=i, p=i - 1)
+        if i < iters:
+            s += """,
+c{i} AS (
+  SELECT c.cid, c.dim, COALESCE(n.v, c.v) AS v
+  FROM c{p} c LEFT JOIN (
+    SELECT b.cid, x.dim,
+           (sum(x.v) - ((sum(x.v) % count(*) + count(*)) % count(*)))
+             // count(*) AS v
+    FROM b{i} b JOIN x ON x.vec_id = b.vec_id
+    GROUP BY b.cid, x.dim) n ON n.cid = c.cid AND n.dim = c.dim)""" \
+                .format(i=i, p=i - 1)
+    return s + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM b{0}" \
+        .format(iters)
+
+
+SQL_KMEANS_ITER_ASSIGN = _kmeans_int_sql(8, 4)
 
 
 def q_embedding_label_dist(sf_dir):
@@ -4603,6 +4695,7 @@ QUERIES = {
     "chunk_windows": (q_chunk_windows, SQL_CHUNK_WINDOWS),
     "minhash_pairs": (q_minhash_pairs, None),
     "minhash_sigs": (q_minhash_sigs, SQL_MINHASH_SIGS),
+    "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
     "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
@@ -4616,6 +4709,7 @@ QUERIES = {
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "kmeans_iter_assign": (q_kmeans_iter_assign, SQL_KMEANS_ITER_ASSIGN),
     "semdedup_pairs": (q_semdedup_pairs, SQL_SEMDEDUP_PAIRS),
     "doc_features_knn": (q_doc_features_knn, SQL_DOC_FEATURES_KNN),
     "embedding_label_dist": (q_embedding_label_dist, SQL_EMBEDDING_LABEL_DIST),

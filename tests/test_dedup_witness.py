@@ -77,6 +77,54 @@ def test_minhash_witness_similarity_semantics():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_band_pairs_matches_naive():
+    """Engine banded-LSH pairs == brute-force over reference signatures
+    (band-tuple candidates, >= 8/16 agreement), under repartitioning."""
+    import itertools
+
+    from document_processor_ray.functions.dedup_witness import (
+        minhash_band_pairs)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = {
+        "a1": base, "a2": base,                       # identical: 16/16
+        "a3": base + " tail extra",                   # near: most positions
+        "b1": " ".join(f"zzz{i}" for i in range(60)),  # unrelated
+        "c1": "", "c2": "",                           # empty docs agree too
+    }
+    rows = [{"doc_id": k, "text": v} for k, v in texts.items()]
+    sigs = {k: minhash_sig_ref(v) for k, v in texts.items()}
+    buckets: dict = {}
+    for d, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, tuple(s[b * 4:b * 4 + 4])), []).append(d)
+    want = {}
+    for mem in buckets.values():
+        for x, y in itertools.combinations(sorted(mem), 2):
+            n = sum(p == q for p, q in zip(sigs[x], sigs[y]))
+            if n >= 8:
+                want[(x, y)] = n
+    assert ("a1", "a2") in want and want[("a1", "a2")] == 16
+    assert ("c1", "c2") in want
+    for nparts in (1, 3):
+        ds = rd.from_items(rows).repartition(nparts)
+        got = {(r["a"], r["b"]): r["n_agree"]
+               for r in minhash_band_pairs(ds).take_all()}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_band_pairs_oversized_bucket_raises():
+    rows = [{"doc_id": f"d{i}", "text": "same text every time"}
+            for i in range(8)]
+    from document_processor_ray.functions.dedup_witness import (
+        minhash_band_pairs)
+
+    with pytest.raises(Exception, match="max_bucket"):
+        minhash_band_pairs(rd.from_items(rows), max_bucket=4).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_witness_datasets_invariant_under_repartition():
     rows = [{"doc_id": f"d{i:03d}", "text": t or ""}
             for i, t in enumerate(EDGE_TEXTS * 8)]

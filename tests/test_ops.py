@@ -390,6 +390,48 @@ def test_kmeans_recovers_separated_clusters():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_kmeans_int_matches_numpy_and_recovers_blobs():
+    """Integer-exact Lloyd (kmeans_int_assign) == a direct numpy/int
+    reimplementation on the same data, recovers separated blobs, and is
+    repartition-invariant."""
+    from document_processor_ray.functions import cluster as cl
+
+    rng = np.random.RandomState(11)
+    centers = np.eye(3, 8)
+    ids, vecs = [], []
+    for i in range(90):
+        v = centers[i % 3] + 0.05 * rng.randn(8)
+        ids.append(i)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    k, n_iter = 3, 4
+    # numpy/int reference (the SQL mirror's semantics)
+    X = np.array(vecs, dtype=np.float64)
+    Q = np.floor(X * 1000 + 0.5).astype(np.int64)
+    cent = Q[:k].copy()
+    for it in range(n_iter):
+        d2 = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        if it < n_iter - 1:
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    cent[j] = np.floor_divide(Q[m].sum(axis=0), m.sum())
+    want = dict(zip(ids, a.tolist()))
+    for nparts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        got = {r["vec_id"]: r["cluster"]
+               for r in cl.kmeans_int_assign(ds, k=k, n_iter=n_iter).take_all()}
+        assert got == want
+    by_cluster = {}
+    for i, c in want.items():
+        by_cluster.setdefault(c, set()).add(i)
+    assert sorted(map(frozenset, by_cluster.values())) == \
+        sorted(frozenset(i for i in range(90) if i % 3 == c) for c in range(3))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kmeans_assign_tie_and_labels():
     # exact-tie vector equidistant from two centroids -> lowest centroid index;
     # labels= renames clusters in the output
