@@ -1146,17 +1146,20 @@ def chunk_dedup_stats(ds: rd.Dataset, *, width: int = 8, id_col: str = "doc_id",
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
         # co-partitioned on chunk: the corpus-wide min (doc_id, chunk_no) per
         # chunk is partition-local; stable sort + first-seen flag computes it
-        # segment-wise without per-key groups
+        # segment-wise without per-key groups. Collapse to per-doc partials
+        # BEFORE leaving the partition so the final exchange carries at most
+        # (n_parts x docs) summary rows, never the chunk-count-sized stream.
         srt = df.sort_values(["chunk", id_col, "chunk_no"], kind="mergesort")
-        kept = (~srt["chunk"].duplicated()).astype("int64")
-        return pd.DataFrame({id_col: srt[id_col].to_numpy(),
-                             "kept": kept.to_numpy(),
-                             "kept_words": kept.to_numpy()
-                             * srt["n_words"].to_numpy()})
+        kept = (~srt["chunk"].duplicated()).to_numpy().astype("int64")
+        part = pd.DataFrame({id_col: srt[id_col].to_numpy(),
+                             "n_chunks": np.ones(len(srt), dtype="int64"),
+                             "kept": kept,
+                             "kept_words": kept * srt["n_words"].to_numpy()})
+        return part.groupby(id_col, sort=False, as_index=False).sum()
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     flagged = grouped_reduce(exploded, ["chunk"], keep_first, n_parts=n_parts)
     return flagged.groupby(id_col).aggregate(
-        Count(alias_name="n_chunks"),
+        Sum("n_chunks", alias_name="n_chunks"),
         Sum("kept", alias_name="n_kept"),
         Sum("kept_words", alias_name="kept_words"))
