@@ -1338,6 +1338,72 @@ FROM sc
 """
 
 
+def q_curation_pipeline(sf_dir):
+    """END-TO-END curation composition — the pipeline a 100 TB pretraining
+    run actually executes, hash-checked as ONE query: one enrichment pass
+    (sha256 fingerprint + language-ID + quality ppm, all per-batch
+    vectorized), exact-dedup keep-first under ONE text_sha co-partition,
+    stateless language+quality filter, bounded per-source aggregate. Shuffle
+    budget: one co-partition over (sha, small ints) + one ≤|sources|-row
+    groupby — document text never moves after the enrichment pass. The mirror
+    composes the SAME building-block SQL (exact_dedup row_number rule,
+    SQL_LANGID_PRED, SQL_QUALITY_SCORE) as CTEs, so every stage's semantics
+    stay pinned inside the composition."""
+    from ray.data.aggregate import Count
+
+    from ..core.groupops import grouped_reduce
+    from ..functions.dedup import add_text_sha
+
+    lid = ts.LangId(emit_n_toks=True)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        e = add_text_sha(lid(b))
+        q = np.floor(ts.quality_raw(b) * 1000000.0).astype(np.int64)
+        return pa.table({
+            "text_sha": e["text_sha"], "doc_id": e["doc_id"],
+            "source": e["source"], "pred_lang": e["pred_lang"],
+            "n_toks": e["n_toks"], "quality_ppm": pa.array(q)})
+
+    import pandas as pd
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["doc_id"] == g.groupby("text_sha")["doc_id"].transform("min")
+        return g[keep]
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.equal(b["pred_lang"], "en"),
+            pc.greater_equal(b["quality_ppm"], 900000)))
+
+    enriched = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        enrich, batch_format="pyarrow")
+    kept = grouped_reduce(enriched, ["text_sha"], keep_min)
+    out = (kept.map_batches(filt, batch_format="pyarrow")
+           .groupby("source").aggregate(
+               Count(alias_name="n_docs"),
+               Sum("n_toks", alias_name="n_toks"),
+               Sum("quality_ppm", alias_name="sum_quality_ppm")))
+    return _cast_int64(out, ["n_docs", "n_toks", "sum_quality_ppm"])
+
+
+SQL_CURATION_PIPELINE = """
+WITH lang AS ({LANGID}),
+q AS ({QUALITY}),
+d AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents),
+kept AS (
+  SELECT d.source, l.n_toks, qq.quality_ppm
+  FROM d JOIN lang l USING (doc_id) JOIN q qq USING (doc_id)
+  WHERE d.rn = 1 AND l.pred_lang = 'en' AND qq.quality_ppm >= 900000)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       CAST(sum(quality_ppm) AS BIGINT) AS sum_quality_ppm
+FROM kept GROUP BY source
+""".format(LANGID=SQL_LANGID_PRED, QUALITY=SQL_QUALITY_SCORE)
+
+
 def q_compression_ratio(sf_dir):
     """Deflate-compressibility per doc (int ppm) — the cheap repetition/junk
     signal (low ratio = machine boilerplate). Rows-only: zlib output bytes
@@ -4705,6 +4771,7 @@ QUERIES = {
     "fingerprint": (q_fingerprint, None),
     "fingerprint_grams": (q_fingerprint_grams, SQL_FINGERPRINT_GRAMS),
     "compression_ratio": (q_compression_ratio, None),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
