@@ -451,6 +451,19 @@ def run_scaling() -> dict:
     # in-situ slowdown over the actual timing windows stayed quiet
     insitu_gate = float(os.environ.get("GRAFT_SCALING_INSITU_GATE", "0") or 0) \
         or gate
+    insitu_min = float(os.environ.get("GRAFT_SCALING_INSITU_MIN", "0") or 0) \
+        or (1.0 if gate else 0)
+    if insitu_min and p_lo and p_hi and slow < insitu_min:
+        # TWO-SIDED: all-core 32-CPU work on this box is never FASTER per
+        # core than 8-CPU work (quiet band 1.04-1.09) — a ratio below 1.0
+        # means the LOW level itself was slowed by external/background load,
+        # which would INFLATE the efficiency ratio. Same mechanical rule,
+        # opposite direction: abort without recording.
+        print(json.dumps({"metric": "scaling_aborted_insitu_low",
+                          "insitu_slowdown": round(slow, 3),
+                          "min": insitu_min,
+                          "raw_would_be": round(eff, 3)}), file=sys.stderr)
+        raise SystemExit(3)
     if insitu_gate and p_lo and p_hi and slow > insitu_gate:
         # The instantaneous pre/post probes miss waves that land INSIDE a
         # level's timing window and clear before the post-probe (measured
