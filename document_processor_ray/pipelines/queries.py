@@ -4190,6 +4190,43 @@ def q_jaccard_verify(sf_dir):
     return verified.select_columns(["a", "b", "jaccard"])
 
 
+def q_jaccard_band_verify(sf_dir):
+    """The FULL candidate→verify near-dup chain, SQL-hash-checked end to end:
+    candidates from the mod-M banded-LSH witness (`minhash_band_pairs`, exact
+    band-tuple equality — itself SQL-mirrored), verified by the bucketed
+    exact n-gram Jaccard scale path with integer |∩|/|∪| output (the
+    `jaccard_adjacent` kernel). Composes the two established mirrors; same
+    corpus validity note as `jaccard_adjacent` (every doc has ≥ n tokens, so
+    the short-doc branch the mirror does not model never fires)."""
+    from ..functions.dedup_witness import minhash_band_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_band_pairs(docs, min_agree=8).select_columns(["a", "b"])
+    out = dd.verify_pairs_exact_bucketed(pairs, docs, threshold=0.0,
+                                         emit_counts=True)
+    return out.select_columns(["a", "b", "n_inter", "n_union"])
+
+
+SQL_JACCARD_BAND_VERIFY = """
+WITH bp AS ({BAND_PAIRS}),
+toks2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams2 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t)-2, 0))]) AS gs
+  FROM toks2)
+SELECT bp.a, bp.b,
+       CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(ga.gs, gb.gs))) AS BIGINT) AS n_union
+FROM bp JOIN grams2 ga ON ga.doc_id = bp.a
+        JOIN grams2 gb ON gb.doc_id = bp.b
+""".format(BAND_PAIRS=SQL_MINHASH_BAND_PAIRS)
+
+
 def q_jaccard_adjacent(sf_dir):
     """Deterministic candidate pairs (doc_id, doc_id+1) for doc_id % 5 == 0,
     scored by the bucketed exact n-gram Jaccard scale path (gram-set
@@ -4850,6 +4887,7 @@ QUERIES = {
     "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
     "jaccard_verify": (q_jaccard_verify, None),
+    "jaccard_band_verify": (q_jaccard_band_verify, SQL_JACCARD_BAND_VERIFY),
     "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
