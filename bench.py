@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     # round 5 additions
     "chunk_dedup", "minhash_sigs", "simhash_sigs", "fingerprint_grams",
     "approx_distinct_users", "minhash_band_pairs", "kmeans_iter_assign",
-    "curation_pipeline",
+    "curation_pipeline", "incremental_near_dup", "jaccard_band_verify",
 ]
 
 

@@ -975,6 +975,57 @@ def q_incremental_novel(sf_dir):
     return novel_against_index(inc, idx).select_columns(["doc_id"])
 
 
+def _ensure_band_index(sf_dir) -> str:
+    """Build-once cache of the persisted banded-MinHash near-dup index over
+    the EVEN-doc_id half of the corpus (keyed like ``_ensure_fp_index``)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.incremental import build_band_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{_pq.read_metadata(src).num_rows}-{st.st_mtime_ns}-{st.st_size}"
+    tag = os.path.normpath(sf_dir).replace(os.sep, "_")
+    idx_dir = f"/tmp/graft_bandindex/{tag}-{fp}-v1"
+    if not os.path.exists(os.path.join(idx_dir, "_DONE")):
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+        def even(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(
+                pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(0, pa.int64())))
+
+        build_band_index(_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            even, batch_format="pyarrow"), idx_dir)
+        with open(os.path.join(idx_dir, "_DONE"), "w") as f:
+            f.write("ok")
+    return idx_dir
+
+
+def q_incremental_near_dup(sf_dir):
+    """Streaming-ingest NEAR-dup: odd-doc_id docs (the increment) probed
+    against the PERSISTED banded-MinHash witness index of the even-doc_id
+    corpus — each reducer reads only its own part=N band rows; corpus
+    signatures never re-shuffle per increment
+    (``functions/incremental.py::near_dup_against_index``). Pairs keep the
+    `minhash_band_pairs` rule (band-tuple equality, >= 8/16 positions agree),
+    so the mirror recomputes both sides' signatures in pure SQL."""
+    from ..functions.incremental import near_dup_against_index
+
+    idx = _ensure_band_index(sf_dir)
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(
+            pc.bit_wise_and(b["doc_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64())))
+
+    inc = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        odd, batch_format="pyarrow")
+    return near_dup_against_index(inc, idx, min_agree=8)
+
+
 SQL_INCREMENTAL_NOVEL = """
 WITH inc AS (
   SELECT doc_id, CASE WHEN doc_id % 2 = 1
@@ -1179,6 +1230,25 @@ cand AS (
    AND (a.s[1:4] = b.s[1:4] OR a.s[5:8] = b.s[5:8]
         OR a.s[9:12] = b.s[9:12] OR a.s[13:16] = b.s[13:16]))
 SELECT a, b, n_agree FROM cand WHERE n_agree >= 8
+""".format(MINHASH_SIGS=SQL_MINHASH_SIGS)
+
+
+# mirror for q_incremental_near_dup (defined above, near the exact-index
+# sibling): both sides' witness signatures recomputed in SQL; increment = odd
+# doc ids, corpus = even; same band-tuple + >= 8/16 agreement rule
+SQL_INCREMENTAL_NEAR_DUP = """
+WITH sigs AS ({MINHASH_SIGS}),
+wide AS (
+  SELECT doc_id, list(sig ORDER BY perm) AS s FROM sigs GROUP BY doc_id)
+SELECT * FROM (
+  SELECT i.doc_id, c.doc_id AS corpus_id,
+         CAST(len(list_filter(range(1, 17), j -> i.s[j] = c.s[j]))
+              AS BIGINT) AS n_agree
+  FROM wide i JOIN wide c
+    ON i.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+   AND (i.s[1:4] = c.s[1:4] OR i.s[5:8] = c.s[5:8]
+        OR i.s[9:12] = c.s[9:12] OR i.s[13:16] = c.s[13:16]))
+WHERE n_agree >= 8
 """.format(MINHASH_SIGS=SQL_MINHASH_SIGS)
 
 
@@ -4782,6 +4852,7 @@ QUERIES = {
     "source_stats": (q_source_stats, SQL_SOURCE_STATS),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "incremental_novel": (q_incremental_novel, SQL_INCREMENTAL_NOVEL),
+    "incremental_near_dup": (q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
     "token_freq": (q_token_freq, SQL_TOKEN_FREQ),
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "bigram_freq": (q_bigram_freq, SQL_BIGRAM_FREQ),

@@ -125,6 +125,44 @@ def test_minhash_band_pairs_oversized_bucket_raises():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_near_dup_matches_cross_pairs(tmp_path):
+    """build_band_index + near_dup_against_index == the increment x corpus
+    subset of brute-force witness band pairs; probing twice (index reused in
+    place) gives identical results."""
+    import itertools
+
+    from document_processor_ray.functions.incremental import (
+        build_band_index, near_dup_against_index)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = {0: base, 1: base, 2: base + " tail extra",
+             3: " ".join(f"zzz{i}" for i in range(60)),
+             4: base + " other ending here", 5: "short one"}
+    rows = [{"doc_id": k, "text": v} for k, v in texts.items()]
+    corpus = [r for r in rows if r["doc_id"] % 2 == 0]
+    inc = [r for r in rows if r["doc_id"] % 2 == 1]
+    idx = str(tmp_path / "bandidx")
+    build_band_index(rd.from_items(corpus), idx, n_parts=4)
+    sigs = {k: minhash_sig_ref(v) for k, v in texts.items()}
+
+    def bands(s):
+        return [tuple(s[b * 4:b * 4 + 4]) for b in range(4)]
+
+    want = {}
+    for i, c in itertools.product([1, 3, 5], [0, 2, 4]):
+        if any(x == y for x, y in zip(bands(sigs[i]), bands(sigs[c]))):
+            n = sum(p == q for p, q in zip(sigs[i], sigs[c]))
+            if n >= 8:
+                want[(i, c)] = n
+    assert want  # the fixture must produce at least one near-dup pair
+    for _ in range(2):
+        got = {(r["doc_id"], r["corpus_id"]): r["n_agree"]
+               for r in near_dup_against_index(
+                   rd.from_items(inc), idx).take_all()}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_witness_datasets_invariant_under_repartition():
     rows = [{"doc_id": f"d{i:03d}", "text": t or ""}
             for i, t in enumerate(EDGE_TEXTS * 8)]
