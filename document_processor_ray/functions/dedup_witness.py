@@ -328,6 +328,81 @@ class SimHashWitness:
                          "simhash": pa.array(sims.view(np.int64))})
 
 
+def simhash_band_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_bucket: int = 512, concurrency=None) -> rd.Dataset:
+    """Fully SQL-hash-checkable SimHash PAIR pipeline over the md5 witness
+    signatures: 4 x 16-bit pigeonhole bands (any pair within hamming
+    ``max_hamming`` <= 3 shares >= 1 exact band), candidates verified with an
+    exact 64-bit popcount — DuckDB mirrors the verify as
+    ``bit_count(xor(a, b))`` (two's-complement BIGINT popcount == u64
+    popcount). One signature pass + ONE (band, key) co-partition + a pair
+    dedup; output (a, b, hamming) with a < b.
+
+    Like ``minhash_band_pairs`` there is NO hot-bucket degrade cap: SQL
+    parity requires the full in-bucket pair set, so a bucket over
+    ``max_bucket`` raises loudly (run exact_dedup first — the production
+    contract — or raise the bound)."""
+    import pandas as pd
+
+    from ..core.groupops import grouped_reduce
+    from .dedup import _popcount64
+
+    sigs = ds.map_batches(
+        SimHashWitness,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": ids,
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int32()),
+                             "simhash": pa.array([], pa.int64())})
+        sims = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (bands.astype(np.uint64)) * np.uint64(16)
+        rep = np.repeat(sims, 4)
+        keys = ((rep >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        idx = pa.array(np.repeat(np.arange(n), 4))
+        return pa.table({"doc_id": ids.take(idx),
+                         "band": pa.array(bands),
+                         "key": pa.array(keys),
+                         "simhash": pa.array(rep.view(np.int64))})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        multi = g[g.duplicated(["band", "key"], keep=False)]
+        out_a, out_b, out_h = [], [], []
+        for _, grp in multi.groupby(["band", "key"], sort=False):
+            if len(grp) > max_bucket:
+                raise ValueError(
+                    f"simhash_band_pairs: bucket of {len(grp)} members "
+                    f"exceeds max_bucket={max_bucket}; dedup exact "
+                    "duplicates first or raise the bound")
+            grp = grp.sort_values("doc_id")
+            ids_np = grp["doc_id"].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            ii, jj = np.triu_indices(len(ids_np), k=1)
+            ham = (_popcount64(hs[ii] ^ hs[jj]) if len(ii)
+                   else np.array([], np.int64))
+            keep = np.flatnonzero(ham <= max_hamming)
+            out_a.extend(ids_np[ii[keep]].tolist())
+            out_b.extend(ids_np[jj[keep]].tolist())
+            out_h.extend(ham[keep].astype(np.int64).tolist())
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    pairs = grouped_reduce(exploded, ["band", "key"], part_pairs)
+    return grouped_reduce(pairs, ["a", "b"],
+                          lambda g: g.drop_duplicates(["a", "b"]))
+
+
 def simhash_md5(ds: rd.Dataset, text_col: str = "text",
                 id_col: str = "doc_id", concurrency=None) -> rd.Dataset:
     """(doc_id, simhash) witness signatures — the SQL-hash-checked mirror of

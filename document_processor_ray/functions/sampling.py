@@ -135,6 +135,17 @@ def weighted_sample_topk(ds: rd.Dataset, key_col: str, weight_col: str,
     probability proportional to weight, reproducible across runs and
     repartitioning because u is a pure function of the key.
 
+    Cross-engine determinism (the lm/bm25 pattern): the score is quantized
+    to pico-units from one fixed IEEE expression —
+    ``floor(ln((float(x) + 0.5) / 2^64) / w * 1e12 + 0.5)`` with x the first
+    8 md5 digest bytes big-endian — which DuckDB reproduces bit-for-bit
+    (``ln(...)/w*1e12``, hex-substr cast for x), and rank ties on the
+    quantized score break on the key ascending, so the selected SET is
+    engine-independent and the query is SQL-hash-checkable. Near a .5
+    pico-boundary a sub-ulp ln() divergence could still flip one rank (the
+    semdedup caveat); none exists in the gate data and the 1e12 grain makes
+    the window ~1e-4 ulp wide.
+
     Scale: per-batch partial top-k first, so the global sort sees at most
     k rows per batch, never the corpus."""
 
@@ -145,13 +156,16 @@ def weighted_sample_topk(ds: rd.Dataset, key_col: str, weight_col: str,
         if np.any(w <= 0):
             raise ValueError("weighted_sample_topk needs strictly positive "
                              "weights")
-        s = np.log(_key_uniform(b[key_col])) / w
-        b = b.append_column("__es_score", pa.array(s, pa.float64()))
-        top = pc.sort_indices(b, sort_keys=[("__es_score", "descending")])[:k]
+        s = np.floor(np.log(_key_uniform(b[key_col])) / w * 1e12
+                     + 0.5).astype(np.int64)
+        b = b.append_column("__es_score", pa.array(s, pa.int64()))
+        top = pc.sort_indices(
+            b, sort_keys=[("__es_score", "descending"),
+                          (key_col, "ascending")])[:k]
         return b.take(top)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
-           .sort("__es_score", descending=True).limit(k))
+           .sort(["__es_score", key_col], descending=[True, False]).limit(k))
     return out.drop_columns(["__es_score"])
 
 

@@ -164,6 +164,42 @@ def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
         "compress_ppm": pa.array(ratios, pa.int64())})
 
 
+def _winnow_md5_grams(text: str | None, k: int, window: int) -> np.ndarray:
+    """Winnowing-selected md5-low-64 character k-gram hashes of one doc,
+    unique-sorted ascending (u64). Shared kernel of `fingerprint_grams_batch`
+    and `fingerprint_digest_batch`; rules documented on the former."""
+    t = text or ""
+    n = len(t) - k + 1
+    if n <= 0:
+        return np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[8:], "little")], np.uint64)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(t[i:i + k].encode()).digest()[8:],
+                        "little") for i in range(n)),
+        np.uint64, count=n)
+    if n >= window:
+        win = np.lib.stride_tricks.sliding_window_view(hs, window)
+        return np.unique(win.min(axis=1))
+    return np.unique(hs)
+
+
+def fingerprint_digest_batch(batch: pa.Table, text_col: str = "text",
+                             k: int = 8, window: int = 4) -> pa.Table:
+    """SQL-hash-checkable winnowing DIGEST: md5 hex of the comma-joined
+    unsigned decimal values of the selected gram hashes in ascending order —
+    one string per doc, computed in the same shuffle-free pass as the gram
+    selection. DuckDB mirror: ``md5(string_agg(CAST(u AS VARCHAR), ','
+    ORDER BY u))`` over the `fingerprint_grams` gram set viewed unsigned.
+    The production sha256/rolling-hash digest stays `fingerprint_batch`."""
+    out = []
+    for text in batch[text_col].to_pylist():
+        hs = _winnow_md5_grams(text, k, window)
+        joined = ",".join(str(int(v)) for v in hs)
+        out.append(hashlib.md5(joined.encode()).hexdigest())
+    tbl = batch.drop_columns([text_col])
+    return tbl.append_column("fingerprint", pa.array(out, pa.string()))
+
+
 def fingerprint_grams_batch(batch: pa.Table, text_col: str = "text",
                             k: int = 8, window: int = 4) -> pa.Table:
     """SQL-mirrorable winnowing witness: the SELECTED k-gram hashes themselves
@@ -179,21 +215,7 @@ def fingerprint_grams_batch(batch: pa.Table, text_col: str = "text",
     grams: list[np.ndarray] = []
     dids = batch["doc_id"].to_pylist()
     for did, text in zip(dids, batch[text_col].to_pylist()):
-        t = text or ""
-        n = len(t) - k + 1
-        if n <= 0:
-            hs = np.array([int.from_bytes(
-                hashlib.md5(t.encode()).digest()[8:], "little")], np.uint64)
-        else:
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.md5(t[i:i + k].encode()).digest()[8:],
-                                "little") for i in range(n)),
-                np.uint64, count=n)
-            if n >= window:
-                win = np.lib.stride_tricks.sliding_window_view(hs, window)
-                hs = np.unique(win.min(axis=1))
-            else:
-                hs = np.unique(hs)
+        hs = _winnow_md5_grams(text, k, window)
         doc_ids.extend([did] * len(hs))
         grams.append(hs)
     flat = (np.concatenate(grams) if grams

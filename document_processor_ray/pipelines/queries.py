@@ -1300,6 +1300,41 @@ FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id
 """
 
 
+def q_simhash_band_pairs(sf_dir):
+    """FULLY SQL-hash-checked SimHash pair pipeline (Charikar'02 rounding +
+    the 4 x 16-bit pigeonhole banding of the production `simhash_pairs`) over
+    the md5 witness signatures: candidates share an exact 16-bit band,
+    verified with an exact 64-bit popcount, kept at hamming <= 3. One sig
+    pass + one (band, key) co-partition
+    (``functions/dedup_witness.py::simhash_band_pairs``); the mirror
+    recomputes signatures, band joins, and the hamming verify as
+    ``bit_count(xor(a, b))`` in pure SQL."""
+    from ..functions.dedup_witness import simhash_band_pairs
+
+    return simhash_band_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              max_hamming=3)
+
+
+SQL_SIMHASH_BAND_PAIRS = """
+WITH sims AS ({SIMHASH_SIGS}),
+u AS (
+  SELECT doc_id, simhash,
+         CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0
+             THEN CAST(1 AS HUGEINT) << 64 ELSE CAST(0 AS HUGEINT) END AS uv
+  FROM sims),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM u a JOIN u b
+    ON a.doc_id < b.doc_id
+   AND ((a.uv & 65535) = (b.uv & 65535)
+     OR ((a.uv >> 16) & 65535) = ((b.uv >> 16) & 65535)
+     OR ((a.uv >> 32) & 65535) = ((b.uv >> 32) & 65535)
+     OR ((a.uv >> 48) & 65535) = ((b.uv >> 48) & 65535)))
+SELECT a, b, hamming FROM cand WHERE hamming <= 3
+""".format(SIMHASH_SIGS=SQL_SIMHASH_SIGS)
+
+
 def q_embedding_dup_pairs(sf_dir):
     pairs = dd.embedding_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.4)
     # ids only: the cosine value itself differs from DuckDB's in final float bits
@@ -1486,14 +1521,27 @@ def q_compression_ratio(sf_dir):
 
 
 def q_fingerprint(sf_dir):
-    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03).
-    Rows-only: the digest is sha256 over selected rolling-hash minima —
-    DuckDB-inexpressible; exactness is pytest-pinned against a naive
-    reimplementation (tests/test_textstats.py), and the winnowing SELECTION
-    rule itself is SQL-hash-checked via `fingerprint_grams`."""
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03),
+    SQL-hash-checked: one digest string per doc — md5 over the ordered
+    unsigned decimal gram set that `fingerprint_grams` pins (selection rule
+    identical; only the digest hash differs from the production sha256
+    `fingerprint_batch`, which stays pytest-pinned against a naive
+    reimplementation). Shuffle-free single pass."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ts.fingerprint_batch, batch_format="pyarrow"
-    ).drop_columns(["text"])
+        ts.fingerprint_digest_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_DIGEST = """
+WITH g AS ({FPG}),
+u AS (
+  SELECT doc_id,
+         CAST(gram AS HUGEINT) + CASE WHEN gram < 0
+             THEN CAST(1 AS HUGEINT) << 64 ELSE CAST(0 AS HUGEINT) END AS uv
+  FROM g)
+SELECT doc_id,
+       md5(string_agg(CAST(uv AS VARCHAR), ',' ORDER BY uv)) AS fingerprint
+FROM u GROUP BY doc_id
+"""
 
 
 def q_fingerprint_grams(sf_dir):
@@ -1536,6 +1584,9 @@ SELECT DISTINCT doc_id,
             AS BIGINT) AS gram
 FROM sel
 """
+
+SQL_FINGERPRINT_DIGEST = SQL_FINGERPRINT_DIGEST.format(
+    FPG=SQL_FINGERPRINT_GRAMS)
 
 
 # ---------------------------------------------------------------------------
@@ -3065,14 +3116,31 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r)
 
 def q_weighted_sample_orders(sf_dir):
     """Deterministic weighted sample without replacement (Efraimidis–Spirakis
-    ln(u)/w top-k; inclusion ∝ o_totalprice). Rows-only: the exact float
-    boundary at the k-th score has no stable SQL mirror, so correctness is
-    pinned by the naive-oracle + repartition-invariance pytest instead."""
+    ln(u)/w top-k; inclusion ∝ o_totalprice), SQL-hash-checked: the score is
+    pico-quantized from one fixed IEEE expression both engines share
+    (md5-uniform of the key via hex-substr cast, ``ln(u)/w*1e12`` floored)
+    and quantized ties break on the key, so the selected row set is
+    engine-independent (see ``functions/sampling.py::weighted_sample_topk``
+    for the boundary caveat)."""
     from ..functions.sampling import weighted_sample_topk
 
     return weighted_sample_topk(
         _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
         "o_orderkey", "o_totalprice", k=100)
+
+
+SQL_WEIGHTED_SAMPLE_ORDERS = """
+WITH scored AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor(
+             ln((CAST(CAST(concat('0x',
+                      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS DOUBLE) + 0.5) / 18446744073709551616.0)
+             / CAST(o_totalprice AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS q
+  FROM orders)
+SELECT o_orderkey, o_totalprice
+FROM scored ORDER BY q DESC, o_orderkey LIMIT 100
+"""
 
 
 def q_split_counts(sf_dir):
@@ -4248,18 +4316,6 @@ FROM m
 """
 
 
-def q_jaccard_verify(sf_dir):
-    """Exact n-gram Jaccard verification of MinHash candidates via the bucketed
-    scale path (gram-set co-partitioned joins, no text broadcast). Rows-only:
-    the candidate set comes from blake2b MinHash (no SQL mirror upstream); the
-    Jaccard kernel itself is SQL-hash-checked on deterministic pairs by
-    `jaccard_adjacent`."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5)
-    verified = dd.verify_pairs_exact_bucketed(pairs, docs, threshold=0.3)
-    return verified.select_columns(["a", "b", "jaccard"])
-
-
 def q_jaccard_band_verify(sf_dir):
     """The FULL candidate→verify near-dup chain, SQL-hash-checked end to end:
     candidates from the mod-M banded-LSH witness (`minhash_band_pairs`, exact
@@ -4872,11 +4928,12 @@ QUERIES = {
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "simhash_pairs": (q_simhash_pairs, None),
     "simhash_sigs": (q_simhash_sigs, SQL_SIMHASH_SIGS),
+    "simhash_band_pairs": (q_simhash_band_pairs, SQL_SIMHASH_BAND_PAIRS),
     "embedding_dup_pairs": (q_embedding_dup_pairs, SQL_EMBEDDING_DUP_PAIRS),
     "embedding_dup_lsh": (q_embedding_dup_lsh, None),
     "langid_pred": (q_langid_pred, SQL_LANGID_PRED),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT_DIGEST),
     "fingerprint_grams": (q_fingerprint_grams, SQL_FINGERPRINT_GRAMS),
     "compression_ratio": (q_compression_ratio, None),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
@@ -4946,7 +5003,8 @@ QUERIES = {
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),
-    "weighted_sample_orders": (q_weighted_sample_orders, None),
+    "weighted_sample_orders": (q_weighted_sample_orders,
+                               SQL_WEIGHTED_SAMPLE_ORDERS),
     "upsample_docs": (q_upsample_docs, SQL_UPSAMPLE_DOCS),
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),
@@ -4957,7 +5015,6 @@ QUERIES = {
     "price_quantiles_kll": (q_price_quantiles_kll, SQL_PRICE_QUANTILES_KLL),
     "page_screenshots": (q_page_screenshots, None),
     "table_cells": (q_table_cells, None),
-    "jaccard_verify": (q_jaccard_verify, None),
     "jaccard_band_verify": (q_jaccard_band_verify, SQL_JACCARD_BAND_VERIFY),
     "jaccard_adjacent": (q_jaccard_adjacent, SQL_JACCARD_ADJACENT),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),

@@ -113,6 +113,54 @@ def test_minhash_band_pairs_matches_naive():
         assert got == want
 
 
+def test_simhash_band_pairs_matches_naive():
+    """Engine banded SimHash pairs == brute-force over reference signatures
+    (4 x 16-bit pigeonhole band candidates, hamming <= 3 verify), under
+    repartitioning."""
+    import itertools
+
+    from document_processor_ray.functions.dedup_witness import (
+        simhash_band_pairs)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = {
+        "a1": base, "a2": base,                        # identical: hamming 0
+        "a3": base + " tail",                          # near
+        "b1": " ".join(f"zzz{i}" for i in range(60)),  # unrelated
+        "c1": "", "c2": "",                            # empty: both sig 0
+    }
+    rows = [{"doc_id": k, "text": v} for k, v in texts.items()]
+    sigs = {k: simhash_ref(v) % (1 << 64) for k, v in texts.items()}
+    buckets: dict = {}
+    for d, s in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF, ), []).append(d)
+    want = {}
+    for mem in buckets.values():
+        for x, y in itertools.combinations(sorted(set(mem)), 2):
+            h = bin(sigs[x] ^ sigs[y]).count("1")
+            if h <= 3:
+                want[(x, y)] = h
+    assert want[("a1", "a2")] == 0 and ("c1", "c2") in want
+    assert ("b1", "a1") not in want and ("a1", "b1") not in want
+    for nparts in (1, 3):
+        ds = rd.from_items(rows).repartition(nparts)
+        got = {(r["a"], r["b"]): r["hamming"]
+               for r in simhash_band_pairs(ds).take_all()}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_band_pairs_oversized_bucket_raises():
+    rows = [{"doc_id": f"d{i}", "text": "same text every time"}
+            for i in range(8)]
+    from document_processor_ray.functions.dedup_witness import (
+        simhash_band_pairs)
+
+    with pytest.raises(Exception, match="max_bucket"):
+        simhash_band_pairs(rd.from_items(rows), max_bucket=4).take_all()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_band_pairs_oversized_bucket_raises():
     rows = [{"doc_id": f"d{i}", "text": "same text every time"}

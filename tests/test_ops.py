@@ -268,6 +268,30 @@ def test_fingerprint_grams_matches_naive():
     assert got[4] == got[5]  # identical docs select identical grams
 
 
+def test_fingerprint_digest_matches_naive():
+    """md5 digest over the ordered unsigned selected-gram set == digesting
+    fingerprint_grams_batch's output directly; keeps equal/distinct docs
+    equal/distinct like the production sha256 digest."""
+    import hashlib
+
+    texts = ["", "abc", "abcdefghij" * 5, "abcdefghij" * 5,
+             "totally different text"]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    grams = ts.fingerprint_grams_batch(b)
+    per_doc: dict = {}
+    for d, g in zip(grams["doc_id"].to_pylist(), grams["gram"].to_pylist()):
+        per_doc.setdefault(d, []).append(g % (1 << 64))
+    out = ts.fingerprint_digest_batch(b).to_pylist()
+    assert [r["doc_id"] for r in out] == list(range(len(texts)))
+    for r in out:
+        want = hashlib.md5(",".join(
+            str(v) for v in sorted(per_doc[r["doc_id"]])).encode()).hexdigest()
+        assert r["fingerprint"] == want
+    assert out[2]["fingerprint"] == out[3]["fingerprint"]
+    assert out[2]["fingerprint"] != out[4]["fingerprint"]
+    assert "text" not in out[0]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_tumbling_window_matches_pandas():
     ts_vals = pd.to_datetime(

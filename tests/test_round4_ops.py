@@ -157,8 +157,8 @@ def test_weighted_sample_matches_naive_and_is_partition_invariant():
         for i in range(n):
             x = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
             u = (x + 0.5) / 2**64
-            scores[i] = np.log(u) / w[i]
-        return set(sorted(scores, key=scores.get, reverse=True)[:k])
+            scores[i] = int(np.floor(np.log(u) / w[i] * 1e12 + 0.5))
+        return set(sorted(scores, key=lambda i: (-scores[i], i))[:k])
 
     got1 = {r["k"] for r in weighted_sample_topk(
         rd.from_items(items), "k", "w", k).take_all()}
