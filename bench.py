@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "chunk_dedup", "minhash_sigs", "simhash_sigs", "fingerprint_grams",
     "approx_distinct_users", "minhash_band_pairs", "kmeans_iter_assign",
     "curation_pipeline", "incremental_near_dup", "jaccard_band_verify",
-    "simhash_band_pairs", "fingerprint",
+    "simhash_band_pairs", "fingerprint", "token_budget_select",
 ]
 
 

@@ -257,3 +257,58 @@ def _salted_key_bytes(col: pa.ChunkedArray | pa.Array, salt: str) -> np.ndarray:
             f"upsample key must be an integer or string column (got {t})")
     return np.array([hashlib.md5((str(v) + salt).encode()).digest()[0]
                      for v in col.to_pylist()], dtype=np.uint16)
+
+
+def token_budget_select(ds: rd.Dataset, id_col: str, weight_col: str,
+                        score_col: str, budget: int,
+                        score_max: int = 1_000_000,
+                        id_bits: int = 31) -> rd.Dataset:
+    """DataComp-style token-budget subset selection: rank documents by
+    (``score_col`` DESC, ``id_col`` ASC) and keep the prefix whose documents
+    fit ENTIRELY within ``budget`` total tokens — the "take the best T
+    tokens" curation cut.
+
+    Distributed shape: a composite integer key ``(score_max - score) <<
+    id_bits | id`` turns the two-column rank into ascending-id order, so the
+    whole operation IS ``pack.global_prefix_sum`` — bounds pass + bucket
+    histogram + one coarse co-partition, with only (key, weight) ever
+    moving; the text column never shuffles and the driver sees O(buckets)
+    rows. Scores/ids outside [0, score_max] / [0, 2^id_bits) raise loudly
+    (a silent mask would alias ranks — the ADVICE.md lesson).
+
+    SQL mirror (integer-exact): ``sum(w) OVER (ORDER BY score DESC, id ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + w <= budget``.
+    """
+    from .pack import global_prefix_sum
+
+    if (score_max << id_bits) >= (1 << 62):
+        raise ValueError("score_max << id_bits must stay inside int64")
+    mask = (1 << id_bits) - 1
+    smax = np.int64(score_max)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = b[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sc) and (sc.min() < 0 or sc.max() > score_max):
+            raise ValueError(
+                f"token_budget_select: {score_col} outside [0, {score_max}]")
+        if len(ids) and (ids.min() < 0 or ids.max() > mask):
+            raise ValueError(
+                f"token_budget_select: {id_col} outside [0, 2^{id_bits})")
+        key = ((smax - sc) << np.int64(id_bits)) | ids
+        return pa.table({"__key": pa.array(key),
+                         weight_col: b[weight_col]})
+
+    ranked = global_prefix_sum(
+        ds.map_batches(keyed, batch_format="pyarrow"), "__key", weight_col)
+
+    def unkey(b: pa.Table) -> pa.Table:
+        key = b["__key"].to_numpy(zero_copy_only=False)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = b["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = start + w <= budget
+        return pa.table({id_col: pa.array((key & mask)[keep]),
+                         weight_col: pa.array(w[keep]),
+                         "start_tok": pa.array(start[keep])})
+
+    return ranked.map_batches(unkey, batch_format="pyarrow")

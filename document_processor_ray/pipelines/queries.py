@@ -3143,6 +3143,53 @@ FROM scored ORDER BY q DESC, o_orderkey LIMIT 100
 """
 
 
+def q_token_budget_select(sf_dir):
+    """DataComp-style token-budget curation cut, SQL-hash-checked: rank docs
+    by (quality_ppm DESC, doc_id), keep the prefix fitting entirely within a
+    40%-of-corpus token budget. One enrichment pass (token count + the
+    bit-exact quality ppm), one bounded sum for the budget, then the
+    composite-key ``global_prefix_sum`` shape — only (key, n_tokens) moves
+    (``functions/sampling.py::token_budget_select``). Mirror: window
+    ``sum(w) OVER (ORDER BY q DESC, doc_id)`` + the same integer budget."""
+    from ..functions.sampling import token_budget_select
+
+    def enrich(b: pa.Table) -> pa.Table:
+        ppm = np.floor(ts.quality_raw(b) * 1000000.0).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                b["text"], pattern=ts.TOKEN_PAT), pa.int64()),
+            "quality_ppm": pa.array(ppm)})
+
+    enriched = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        enrich, batch_format="pyarrow")
+    total = enriched.sum("n_tokens")
+    budget = (int(total) * 2) // 5
+    return token_budget_select(enriched, "doc_id", "n_tokens",
+                               "quality_ppm", budget)
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+s AS (
+  SELECT d.doc_id,
+         CAST(array_length(regexp_extract_all(d.text, '{ts.TOKEN_PAT}'))
+              AS BIGINT) AS n_tokens,
+         q.quality_ppm
+  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+tot AS (SELECT sum(n_tokens) AS tw FROM s),
+r AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             ORDER BY quality_ppm DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_tok
+  FROM s)
+SELECT doc_id, n_tokens, start_tok
+FROM r, tot WHERE start_tok + n_tokens <= (tw * 2) // 5
+"""
+
+
 def q_split_counts(sf_dir):
     """Deterministic train/valid/test split assignment (leak-proof under any
     repartitioning), aggregated to per-split counts."""
@@ -5000,6 +5047,7 @@ QUERIES = {
     "sample_orders": (q_sample_orders, SQL_SAMPLE_ORDERS),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
+    "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),

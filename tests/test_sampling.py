@@ -203,3 +203,55 @@ def test_pack_assign_boundaries():
     assert (got[2]["first_pack"], got[2]["last_pack"]) == (0, 1)  # 300..600
     assert (got[3]["start_tok"], got[3]["end_tok"]) == (600, 1600)
     assert (got[3]["first_pack"], got[3]["last_pack"]) == (1, 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_select_matches_naive_and_is_partition_invariant():
+    import numpy as np
+    import pyarrow as pa
+
+    from document_processor_ray.functions.sampling import token_budget_select
+
+    rng = np.random.default_rng(7)
+    n = 400
+    w = rng.integers(1, 50, size=n).astype(np.int64)
+    q = rng.integers(0, 1_000_000, size=n).astype(np.int64)
+    q[10] = q[11] = 777  # tied scores: id ascending breaks the tie
+    budget = int(w.sum() * 2 // 5)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "n_tokens": pa.array(w), "quality_ppm": pa.array(q)})
+
+    order = sorted(range(n), key=lambda i: (-q[i], i))
+    want, acc = {}, 0
+    for i in order:
+        if acc + w[i] <= budget:
+            want[i] = acc
+        acc += int(w[i])
+
+    for nparts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        rows = token_budget_select(ds, "doc_id", "n_tokens", "quality_ppm",
+                                   budget).take_all()
+        got = {r["doc_id"]: r["start_tok"] for r in rows}
+        assert got == want
+        assert all(r["n_tokens"] == w[r["doc_id"]] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_budget_select_out_of_range_raises():
+    import pyarrow as pa
+
+    from document_processor_ray.functions.sampling import token_budget_select
+
+    bad_q = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "n_tokens": pa.array([5], pa.int64()),
+                      "quality_ppm": pa.array([2_000_000], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        token_budget_select(rd.from_arrow(bad_q), "doc_id", "n_tokens",
+                            "quality_ppm", 100).take_all()
+    bad_id = pa.table({"doc_id": pa.array([-3], pa.int64()),
+                       "n_tokens": pa.array([5], pa.int64()),
+                       "quality_ppm": pa.array([10], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        token_budget_select(rd.from_arrow(bad_id), "doc_id", "n_tokens",
+                            "quality_ppm", 100).take_all()
