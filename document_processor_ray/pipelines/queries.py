@@ -3161,8 +3161,10 @@ def q_token_budget_select(sf_dir):
                 b["text"], pattern=ts.TOKEN_PAT), pa.int64()),
             "quality_ppm": pa.array(ppm)})
 
+    # materialize the 24 B/row projection ONCE: the budget sum and the
+    # prefix-sum passes must not re-run the tokenize/quality regexes
     enriched = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        enrich, batch_format="pyarrow")
+        enrich, batch_format="pyarrow").materialize()
     total = enriched.sum("n_tokens")
     budget = (int(total) * 2) // 5
     return token_budget_select(enriched, "doc_id", "n_tokens",
