@@ -3192,6 +3192,40 @@ FROM r, tot WHERE start_tok + n_tokens <= (tw * 2) // 5
 """
 
 
+def q_classifier_scores(sf_dir):
+    """fastText-shape linear classifier INFERENCE over the corpus
+    (``functions/classify.py``): the weight vector is put in the object store
+    once (``ray.put``) and read zero-copy in each scoring actor's
+    ``__init__``; scoring is a stateless shuffle-free ``map_batches`` pass
+    (one md5 token-hash gather + one segmented integer sum per batch).
+
+    SQL-hash-checked end to end: weights are the deterministic
+    ``synth_weights`` vector ``md5_number_lower(bucket) % 1001 - 500`` and the
+    score is an exact int64 bag-of-words sum, so DuckDB reproduces every bit
+    (same ``md5_number_lower`` tokens-hash mirror as `doc_features_knn`)."""
+    from ..functions.classify import linear_classify
+
+    return linear_classify(_docs(sf_dir, ["doc_id", "text"]), dim=256)
+
+
+SQL_CLASSIFIER_SCORES = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+sc AS (
+  SELECT doc_id,
+         SUM(CAST(md5_number_lower(CAST(md5_number_lower(tok) % 256 AS VARCHAR))
+                  % 1001 AS BIGINT) - 500) AS clf_score
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.clf_score, 0) AS BIGINT) AS clf_score,
+       CASE WHEN COALESCE(sc.clf_score, 0) >= 0
+            THEN 'keep' ELSE 'drop' END AS clf_label
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_split_counts(sf_dir):
     """Deterministic train/valid/test split assignment (leak-proof under any
     repartitioning), aggregated to per-split counts."""
@@ -5050,6 +5084,7 @@ QUERIES = {
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_TOP_ORDERS_PER_SEGMENT),
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
+    "classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),

@@ -562,3 +562,32 @@ def test_weighted_median_matches_naive(tmp_path):
         cw = np.cumsum(w)
         naive = q[np.flatnonzero(2 * cw >= cw[-1])[0]]
         assert got[flag] == naive, flag
+
+
+def test_linear_classify_matches_naive():
+    import hashlib
+
+    from document_processor_ray.functions.classify import (linear_classify,
+                                                           synth_weights)
+
+    dim = 16
+    w = synth_weights(dim)
+    # weight vector itself matches the documented md5 expression
+    for j in (0, 1, 7, 15):
+        h = int.from_bytes(hashlib.md5(str(j).encode()).digest()[8:], "little")
+        assert w[j] == h % 1001 - 500
+
+    docs = {1: "a b a c", 2: "", 3: "zzz zzz yy", 4: None}
+    got = {r["doc_id"]: (r["clf_score"], r["clf_label"])
+           for r in linear_classify(
+               rd.from_arrow(pa.table({
+                   "doc_id": pa.array(list(docs), pa.int64()),
+                   "text": pa.array(list(docs.values()), pa.string())})),
+               weights=w, dim=dim).take_all()}
+
+    def mh(tok):
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
+
+    for i, t in docs.items():
+        exp = sum(int(w[mh(tok) % dim]) for tok in (t or "").split())
+        assert got[i] == (exp, "keep" if exp >= 0 else "drop"), (i, got[i], exp)
