@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "approx_distinct_users", "minhash_band_pairs", "kmeans_iter_assign",
     "curation_pipeline", "incremental_near_dup", "jaccard_band_verify",
     "simhash_band_pairs", "fingerprint", "token_budget_select",
-    "classifier_scores",
+    "classifier_scores", "classifier_calibrated", "props_extract",
 ]
 
 

@@ -3226,6 +3226,72 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_props_extract(sf_dir):
+    """Semi-structured sidecar-metadata extraction at corpus scale
+    (``functions/semistruct.py``): pull the int field ``k`` out of the flat
+    JSON ``props`` column with ONE vectorized ``pc.extract_regex`` kernel per
+    batch (no per-row Python, no JSON parser in the hot path — the
+    WARC-header / provenance-blob access shape), then a low-cardinality
+    grouped aggregate. SQL-hash-checked: the mirror is the identical
+    ``regexp_extract`` + BIGINT cast, and every output is an exact integer."""
+    from ..functions.semistruct import extract_int_field
+
+    def ex(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "k": extract_int_field(b["props"], "k")})
+
+    return (_t(sf_dir, "events", ["event_type", "props"])
+            .map_batches(ex, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("k", alias_name="sum_k"),
+                       Min("k", alias_name="min_k"),
+                       Max("k", alias_name="max_k")))
+
+
+SQL_PROPS_EXTRACT = """
+WITH ex AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '')
+                  AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM ex GROUP BY event_type
+"""
+
+
+def q_classifier_calibrated(sf_dir):
+    """Classifier-threshold CALIBRATION: instead of a fixed cutoff, derive the
+    keep/drop threshold from the corpus itself — the exact 30th-percentile
+    classifier score via the distributed discrete-quantile pass (the DataComp
+    keep-rate-targeting move: "keep the top 70%"), then a stateless label
+    pass. Composition of `classifier_scores` + `_exact_disc_quantiles`, both
+    integer-exact ⇒ SQL-hash-checked."""
+    from ..functions.classify import linear_classify
+
+    scored = linear_classify(_docs(sf_dir, ["doc_id", "text"]),
+                             dim=256).materialize()
+    (cut,) = _exact_disc_quantiles(scored, "clf_score", [0.30])
+
+    def lab(b: pa.Table) -> pa.Table:
+        s = b["clf_score"].to_numpy(zero_copy_only=False)
+        lb = np.where(s > cut, "keep", "drop")
+        return pa.table({"doc_id": b["doc_id"], "clf_score": b["clf_score"],
+                         "cal_label": pa.array(lb.tolist(), pa.string())})
+
+    return scored.map_batches(lab, batch_format="pyarrow")
+
+
+SQL_CLASSIFIER_CALIBRATED = f"""
+WITH sc AS ({SQL_CLASSIFIER_SCORES}),
+cut AS (SELECT quantile_disc(clf_score, 0.30) AS c FROM sc)
+SELECT doc_id, clf_score,
+       CASE WHEN clf_score > c THEN 'keep' ELSE 'drop' END AS cal_label
+FROM sc CROSS JOIN cut
+"""
+
+
 def q_split_counts(sf_dir):
     """Deterministic train/valid/test split assignment (leak-proof under any
     repartitioning), aggregated to per-split counts."""
@@ -5085,6 +5151,8 @@ QUERIES = {
     "split_counts": (q_split_counts, SQL_SPLIT_COUNTS),
     "token_budget_select": (q_token_budget_select, SQL_TOKEN_BUDGET_SELECT),
     "classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES),
+    "classifier_calibrated": (q_classifier_calibrated, SQL_CLASSIFIER_CALIBRATED),
+    "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),

@@ -591,3 +591,15 @@ def test_linear_classify_matches_naive():
     for i, t in docs.items():
         exp = sum(int(w[mh(tok) % dim]) for tok in (t or "").split())
         assert got[i] == (exp, "keep" if exp >= 0 else "drop"), (i, got[i], exp)
+
+
+def test_extract_int_field_edges():
+    from document_processor_ray.functions.semistruct import extract_int_field
+
+    col = pa.array(['{"k": 87}', '{"k": -3, "j": 9}', '{"j": 5}',
+                    '{"k": 1.5}', None, '{"k":42}'])
+    got = extract_int_field(col, "k").to_pylist()
+    # 1.5 matches its integer prefix "1" (flat-int kernel, documented);
+    # missing key / null row -> null
+    assert got == [87, -3, None, 1, None, 42]
+    assert extract_int_field(col, "j").to_pylist() == [None, 9, 5, None, None, None]
