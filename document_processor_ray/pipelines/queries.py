@@ -3143,6 +3143,65 @@ FROM scored ORDER BY q DESC, o_orderkey LIMIT 100
 """
 
 
+def q_dsir_sample(sf_dir):
+    """DSIR-shaped importance RESAMPLING (Xie et al. 2023, arXiv 2302.03169):
+    re-weight every document by an LM-derived importance weight, then draw a
+    deterministic weighted sample without replacement. Here the weight is the
+    corpus bigram-LM average log-likelihood shifted positive
+    (``avg_ll_e9 - min + 1`` — higher-likelihood docs oversampled); with a
+    second (target-domain) LM the weight becomes the two scores' difference
+    and NOTHING else in the pipeline changes — the composition (score pass →
+    bounded min → stateless weight column → Efraimidis–Spirakis top-k with
+    per-batch partial pruning) is the production shape.
+
+    SQL-hash-checked end to end: integer LM scores (`lm_doc_score` mirror),
+    integer weights, and the pico-quantized single-IEEE-expression ES score
+    with key tie-break (`weighted_sample_orders` pattern)."""
+    from ..functions.lm import lm_bigram_score
+    from ..functions.sampling import weighted_sample_topk
+
+    scored = lm_bigram_score(_docs_wide(sf_dir, ["doc_id", "text"]))
+
+    def avg(b: pa.Table) -> pa.Table:
+        ll = b["ll_e9"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.floor(ll / n).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "avg_ll_e9": pa.array(a, pa.int64())})
+
+    av = scored.map_batches(avg, batch_format="pyarrow").materialize()
+    lo = int(av.min("avg_ll_e9"))
+
+    def wcol(b: pa.Table) -> pa.Table:
+        w = b["avg_ll_e9"].to_numpy(zero_copy_only=False) - lo + 1
+        return b.append_column("imp_w", pa.array(w, pa.int64()))
+
+    return weighted_sample_topk(av.map_batches(wcol, batch_format="pyarrow"),
+                                "doc_id", "imp_w", k=50)
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH lmres AS ({SQL_LM_DOC_SCORE}),
+score AS (
+  SELECT doc_id, CAST(floor(CAST(ll_e9 AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                      AS BIGINT) AS avg_ll_e9
+  FROM lmres),
+mn AS (SELECT min(avg_ll_e9) AS lo FROM score),
+w AS (SELECT doc_id, avg_ll_e9, avg_ll_e9 - lo + 1 AS imp_w
+      FROM score CROSS JOIN mn),
+sc AS (
+  SELECT doc_id, avg_ll_e9, imp_w,
+         CAST(floor(
+             ln((CAST(CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS DOUBLE) + 0.5) / 18446744073709551616.0)
+             / CAST(imp_w AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS q
+  FROM w)
+SELECT doc_id, avg_ll_e9, CAST(imp_w AS BIGINT) AS imp_w
+FROM sc ORDER BY q DESC, doc_id LIMIT 50
+"""
+
+
 def q_token_budget_select(sf_dir):
     """DataComp-style token-budget curation cut, SQL-hash-checked: rank docs
     by (quality_ppm DESC, doc_id), keep the prefix fitting entirely within a
@@ -5153,6 +5212,7 @@ QUERIES = {
     "classifier_scores": (q_classifier_scores, SQL_CLASSIFIER_SCORES),
     "classifier_calibrated": (q_classifier_calibrated, SQL_CLASSIFIER_CALIBRATED),
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),
