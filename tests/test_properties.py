@@ -102,3 +102,34 @@ def test_pipeline_deterministic_and_schedule_invariant():
     assert a == b == c
     for spans in a.values():
         assert [s[3] for s in spans] == list(range(len(spans)))  # offsets 0..n-1
+
+
+@given(st.lists(st.text(alphabet="abcxyz0189 ", max_size=12), max_size=6),
+       st.lists(st.text(alphabet="abcxyz0189 ", max_size=12), max_size=6))
+@settings(max_examples=40, deadline=None)
+def test_classifier_score_additive_over_concat(ta, tb):
+    """Bag-of-words linearity: score(a ⊕ " " ⊕ b) == score(a) + score(b) for
+    any whitespace-joined texts — the invariant that makes the distributed
+    per-batch segmented sum correct regardless of how docs are chunked."""
+    from document_processor_ray.functions.classify import LinearScorer, synth_weights
+
+    sc = LinearScorer(synth_weights(32))
+    a, b = " ".join(ta), " ".join(tb)
+
+    def score(texts):
+        t = sc(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "text": pa.array(texts, pa.string())}))
+        return t["clf_score"].to_pylist()
+
+    sa, sb, sab = score([a]), score([b]), score([a + " " + b])
+    assert sab[0] == sa[0] + sb[0]
+
+
+@given(st.integers(min_value=-10**17, max_value=10**17),
+       st.sampled_from(["k", "key", "n_9", "Z"]))
+@settings(max_examples=60, deadline=None)
+def test_extract_int_field_roundtrip(v, key):
+    from document_processor_ray.functions.semistruct import extract_int_field
+
+    col = pa.array([f'{{"{key}": {v}}}', f'{{"other": 1, "{key}":{v}}}'])
+    assert extract_int_field(col, key).to_pylist() == [v, v]
