@@ -3202,6 +3202,71 @@ FROM sc ORDER BY q DESC, doc_id LIMIT 50
 """
 
 
+def q_bpe_merges(sf_dir):
+    """BPE tokenizer TRAINING — learn the first 5 merge rules from corpus
+    word-type frequencies (``functions/bpe.py``; Sennrich et al. 2016). The
+    corpus is touched ONCE (vectorized tokenize + value_counts partials →
+    vocabulary-scale groupby); every merge iteration runs over the TYPE table
+    only (pair-count partials → tiny groupby → bounded top-1 → one Arrow
+    ``replace_substring`` pass). SQL-hash-checked: the mirror unrolls the 5
+    iterations as CTE stages over the identical doubled-separator symbol
+    encoding, whose left-to-right non-overlapping `replace` reproduces greedy
+    BPE merging bit-identically in Arrow, Python, and DuckDB."""
+    from ..functions.bpe import bpe_merges
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    types = (_docs(sf_dir, ["text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("n", alias_name="n")))
+    return bpe_merges(types, 5)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled DuckDB mirror of ``bpe_merges`` (one CTE stage per merge)."""
+    s2 = "chr(31)||chr(31)"
+    ctes = [
+        """toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents)""",
+        "types AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)",
+        f"w0 AS (SELECT {s2}||array_to_string(regexp_extract_all(tok, '.'),"
+        f" {s2})||{s2} AS sym, n FROM types)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes += [
+            f"""p{i} AS (
+  SELECT unnest(list_zip(ls, ls[2:])) AS z, n
+  FROM (SELECT list_filter(string_split(sym, {s2}), x -> x <> '') AS ls, n
+        FROM w{i - 1}))""",
+            f"c{i} AS (SELECT z[1] AS a, z[2] AS b, CAST(sum(n) AS BIGINT)"
+            f" AS c FROM p{i} WHERE z[2] IS NOT NULL GROUP BY 1, 2)",
+            f"t{i} AS (SELECT a, b, c FROM c{i} ORDER BY c DESC, a, b"
+            f" LIMIT 1)",
+            f"w{i} AS (SELECT replace(sym, chr(31)||a||{s2}||b||chr(31),"
+            f" chr(31)||a||b||chr(31)) AS sym, n FROM w{i - 1} CROSS JOIN"
+            f" t{i})",
+        ]
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS it, a, b, a||b AS merged, c AS cnt FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+SQL_BPE_MERGES = _bpe_sql(5)
+
+
 def q_token_budget_select(sf_dir):
     """DataComp-style token-budget curation cut, SQL-hash-checked: rank docs
     by (quality_ppm DESC, doc_id), keep the prefix fitting entirely within a
@@ -5213,6 +5278,7 @@ QUERIES = {
     "classifier_calibrated": (q_classifier_calibrated, SQL_CLASSIFIER_CALIBRATED),
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),

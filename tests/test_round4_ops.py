@@ -603,3 +603,34 @@ def test_extract_int_field_edges():
     # missing key / null row -> null
     assert got == [87, -3, None, 1, None, 42]
     assert extract_int_field(col, "j").to_pylist() == [None, 9, 5, None, None, None]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_merges_match_naive():
+    from collections import Counter
+
+    from document_processor_ray.functions.bpe import bpe_merges
+
+    types = {"lower": 5, "lowest": 3, "newer": 6, "wider": 2, "new": 7, "a": 9}
+    ds = rd.from_items([{"tok": t, "n": n} for t, n in types.items()])
+    got = bpe_merges(ds, 4).to_pylist()
+
+    # naive greedy BPE over word types
+    words = {t: list(t) for t in types}
+    exp = []
+    for it in range(1, 5):
+        cnt = Counter()
+        for t, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                cnt[(x, y)] += types[t]
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append({"it": it, "a": a, "b": b, "merged": a + b, "cnt": c})
+        for t, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            words[t] = out
+    assert got == exp, (got, exp)
