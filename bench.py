@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     "curation_pipeline", "incremental_near_dup", "jaccard_band_verify",
     "simhash_band_pairs", "fingerprint", "token_budget_select",
     "classifier_scores", "classifier_calibrated", "props_extract",
-    "dsir_sample", "bpe_merges",
+    "dsir_sample", "bpe_merges", "bpe_token_counts",
 ]
 
 

@@ -103,3 +103,23 @@ def bpe_merges(types: rd.Dataset, n_merges: int) -> pa.Table:
         "b": pa.array([r["b"] for r in rows], pa.string()),
         "merged": pa.array([r["merged"] for r in rows], pa.string()),
         "cnt": pa.array([r["cnt"] for r in rows], pa.int64())})
+
+
+def bpe_symbol_counts(types: rd.Dataset, merges: pa.Table) -> rd.Dataset:
+    """ENCODE side: apply a learned merge table to the word-type table and
+    return (tok, k) — the BPE symbol count of every type. k sequential
+    vectorized `replace_substring` passes over the TYPE table (never the
+    corpus); per-doc BPE lengths then come from a broadcast tok→k lookup
+    inside a corpus `map_batches` pass (the production tokenizer-apply
+    shape: the merge table ships to workers, the corpus never shuffles)."""
+    pairs = list(zip(merges["a"].to_pylist(), merges["b"].to_pylist()))
+
+    def enc(b: pa.Table) -> pa.Table:
+        sym = _to_sym(b["tok"])
+        for a, b_ in pairs:
+            sym = pc.replace_substring(sym, pattern=SEP + a + SEP2 + b_ + SEP,
+                                       replacement=SEP + a + b_ + SEP)
+        k = pc.subtract(pc.count_substring(sym, SEP2), 1)
+        return pa.table({"tok": b["tok"], "k": pc.cast(k, pa.int64())})
+
+    return types.map_batches(enc, batch_format="pyarrow")

@@ -3232,8 +3232,9 @@ def q_bpe_merges(sf_dir):
     return bpe_merges(types, 5)
 
 
-def _bpe_sql(n_merges: int) -> str:
-    """Unrolled DuckDB mirror of ``bpe_merges`` (one CTE stage per merge)."""
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """Shared CTE chain for the unrolled DuckDB BPE mirrors (one stage per
+    merge; `tok` rides along so the encode mirror can map types back)."""
     s2 = "chr(31)||chr(31)"
     ctes = [
         """toks AS (
@@ -3241,8 +3242,8 @@ def _bpe_sql(n_merges: int) -> str:
                             x -> x <> '')) AS tok
   FROM documents)""",
         "types AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)",
-        f"w0 AS (SELECT {s2}||array_to_string(regexp_extract_all(tok, '.'),"
-        f" {s2})||{s2} AS sym, n FROM types)",
+        f"w0 AS (SELECT tok, {s2}||array_to_string("
+        f"regexp_extract_all(tok, '.'), {s2})||{s2} AS sym, n FROM types)",
     ]
     for i in range(1, n_merges + 1):
         ctes += [
@@ -3254,17 +3255,98 @@ def _bpe_sql(n_merges: int) -> str:
             f" AS c FROM p{i} WHERE z[2] IS NOT NULL GROUP BY 1, 2)",
             f"t{i} AS (SELECT a, b, c FROM c{i} ORDER BY c DESC, a, b"
             f" LIMIT 1)",
-            f"w{i} AS (SELECT replace(sym, chr(31)||a||{s2}||b||chr(31),"
+            f"w{i} AS (SELECT tok, replace(sym, chr(31)||a||{s2}||b||chr(31),"
             f" chr(31)||a||b||chr(31)) AS sym, n FROM w{i - 1} CROSS JOIN"
             f" t{i})",
         ]
+    return ctes
+
+
+def _bpe_sql(n_merges: int) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {i} AS it, a, b, a||b AS merged, c AS cnt FROM t{i}"
         for i in range(1, n_merges + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + sel
 
 
 SQL_BPE_MERGES = _bpe_sql(5)
+
+
+def q_bpe_token_counts(sf_dir):
+    """BPE ENCODE at corpus scale: per-document BPE token count under the 5
+    learned merges. The merge table (bounded) is applied to the TYPE table
+    (k vectorized replace passes, `functions/bpe.py::bpe_symbol_counts`),
+    then the tok→symbol-count map broadcasts into one shuffle-free corpus
+    pass (dictionary-encoded lookup + segmented int sum per batch) — the
+    production tokenizer-apply shape: merges ship to workers, the corpus
+    never shuffles. Integer-exact ⇒ SQL-hash-checked against the unrolled
+    merge-chain mirror."""
+    from ..functions.bpe import bpe_merges, bpe_symbol_counts
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    types = (_docs(sf_dir, ["text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    merges = bpe_merges(types, 5)
+    kmap = {r["tok"]: r["k"]
+            for r in bpe_symbol_counts(types, merges).take_all()}
+
+    def count(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(t, ""),
+                                      pattern=r"[ \t\n\r\f]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        valid = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False).astype(bool)
+        denc = flat.dictionary_encode()
+        ku = np.array([kmap.get(t, 0) for t in denc.dictionary.to_pylist()],
+                      np.int64) if len(denc.dictionary) else np.zeros(0,
+                                                                      np.int64)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        w = np.where(valid, ku[idx] if len(ku) else 0, 0)
+        tot = np.bincount(parent, weights=w.astype(np.float64),
+                          minlength=len(b)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pa.array(tot, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow")
+
+
+def _bpe_counts_sql(n_merges: int) -> str:
+    s2 = "chr(31)||chr(31)"
+    tail = f"""nm AS (
+  SELECT tok, CAST(len(list_filter(string_split(sym, {s2}), x -> x <> ''))
+              AS BIGINT) AS k
+  FROM w{n_merges}),
+dt AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+per AS (SELECT dt.doc_id, sum(nm.k) AS s FROM dt JOIN nm USING (tok)
+        GROUP BY dt.doc_id)
+SELECT d.doc_id, CAST(COALESCE(per.s, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + ",\n" + tail
+
+
+SQL_BPE_TOKEN_COUNTS = _bpe_counts_sql(5)
 
 
 def q_token_budget_select(sf_dir):
@@ -5279,6 +5361,7 @@ QUERIES = {
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "stratified_customers": (q_stratified_customers, SQL_STRATIFIED_CUSTOMERS),
     "rebalance_sources": (q_rebalance_sources, SQL_REBALANCE_SOURCES),
     "source_top_docs": (q_source_top_docs, SQL_SOURCE_TOP_DOCS),

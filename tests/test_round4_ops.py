@@ -634,3 +634,26 @@ def test_bpe_merges_match_naive():
                     out.append(syms[i]); i += 1
             words[t] = out
     assert got == exp, (got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_symbol_counts_match_naive():
+    from document_processor_ray.functions.bpe import bpe_merges, bpe_symbol_counts
+
+    types = {"lower": 5, "lowest": 3, "newer": 6, "wider": 2, "new": 7, "a": 9}
+    ds = rd.from_items([{"tok": t, "n": n} for t, n in types.items()])
+    merges = bpe_merges(ds, 3)
+    got = {r["tok"]: r["k"] for r in bpe_symbol_counts(ds, merges).take_all()}
+
+    pairs = list(zip(merges["a"].to_pylist(), merges["b"].to_pylist()))
+    for t in types:
+        syms = list(t)
+        for a, b in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        assert got[t] == len(syms), (t, got[t], syms)
